@@ -1,0 +1,304 @@
+"""Ego4D FHO datasets: Action Recognition (AR), Long-Term Anticipation (LTA)
+and Anticipation — dense, fixed-shape samples.
+
+Annotation schema and sampling semantics mirror
+/root/reference/data/ego4d_fho.py (AR window logic :206-241, LTA window logic
+:331-396, Anticipation :245-308); shapes are the dense TPU layout:
+
+- AR sample: ``x (9, S, D)``, ``y (9, 2)`` with −1 everywhere but the center
+- LTA sample: ``x (22, S, D)``, ``y (22, 2)`` with −1 on the 2 input clips
+- Anticipation: ``x (A, S, D)``, ``y (A, 2)`` labeled on the last node
+"""
+
+from __future__ import annotations
+
+import logging
+import os.path as osp
+from collections import namedtuple
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from . import sampling
+from .base import BaseDataset, FeatureStore, load_json
+from .ego4d import FEATURE_SIZES, FEATURE_STRIDES
+from .graphs import GraphSpec, ar_spec, lta_spec
+
+logger = logging.getLogger(__name__)
+
+FHOEntry = namedtuple("FHOEntry", ["id", "video_uid", "clip_uid",
+                                   "start_frame", "end_frame",
+                                   "verb_label", "noun_label"])
+AREntry = namedtuple("AREntry", ["video_uid", "clip_uid", "actions"])
+LTAEntry = namedtuple("LTAEntry", ["video_uid", "clip_uid", "id",
+                                   "input_clips", "forecast_clips"])
+
+_EGOVLP_BROKEN_VIDEOS = (
+    "77ed1624-f87b-4196-9a0a-95b7023b18e4",
+    "d18ef16d-f803-4387-bb5e-7876f1522a63",
+    "8e914832-2dd1-44fd-81f8-1b7e2ccd2402",
+)
+
+
+class Ego4dFHODataset(BaseDataset):
+    """Shared FHO annotation parsing (reference: data/ego4d_fho.py:33-174)."""
+
+    def __init__(self, split: str, root: str = "data/ego4d",
+                 features: str = "omnivore_video_swinl", version: int = 1,
+                 num_segments: int = 3, verbose: bool = True):
+        self.split = split.replace("validation", "val")
+        self.root = root
+        self.version = version
+        self.features_path = features
+        self.num_segments = num_segments
+        self.verbose = verbose
+        self.stride = FEATURE_STRIDES[features]
+
+        ann_path = osp.join(root, "raw", f"annotations/v{version}",
+                            f"fho_lta_{self.split}.json")
+        raw = load_json(ann_path, f"FHO annotations for split {self.split}")
+        self.annotations = [
+            FHOEntry(e["action_idx"], e["video_uid"], e["clip_uid"],
+                     e["clip_parent_start_frame"] + e["action_clip_start_frame"],
+                     e["clip_parent_start_frame"] + e["action_clip_end_frame"],
+                     e.get("verb_label"), e.get("noun_label"))
+            for e in raw["clips"]
+        ]
+        if "egovlp" in features:
+            self.annotations = [e for e in self.annotations
+                                if e.video_uid not in _EGOVLP_BROKEN_VIDEOS]
+
+        self.video_uids = sorted({e.video_uid for e in self.annotations})
+        self.clip_uids = sorted({e.clip_uid for e in self.annotations})
+
+        tax_path = osp.join(root, "raw", f"annotations/v{version}",
+                            "fho_lta_taxonomy.json")
+        self.taxonomy = load_json(tax_path, "FHO taxonomy")
+
+        self._store = FeatureStore(root, features, self.video_uids,
+                                   f"fho_{self.split}_v{version}.csv")
+
+    # --- taxonomy protocol ---
+    @property
+    def label_names(self) -> Tuple[str, ...]:
+        return ("verbs", "nouns")
+
+    @property
+    def class_labels(self) -> Tuple[List[str], ...]:
+        return tuple(self.taxonomy[name] for name in self.label_names)
+
+    @property
+    def features_size(self) -> int:
+        return FEATURE_SIZES[self.features_path]
+
+    # --- feature gather shared by AR/LTA ---
+    def _clip_features(self, video_uid: str, start_frame: int, end_frame: int,
+                       rng: Optional[np.random.Generator],
+                       lta_start_rule: bool = False) -> np.ndarray:
+        """Sample ``num_segments`` feature rows for one action clip.
+
+        AR start rule: ``start_frame // stride`` (reference :230); LTA start
+        rule: ``max(1, start_frame // stride) - 1`` (reference :369). Both end
+        at ``min(len - 1, end_frame // stride)``. Any failure (empty window)
+        yields zeros — the reference's silent-corruption guard (:238-239),
+        logged here instead of swallowed blindly.
+        """
+        feats = self._store[video_uid]
+        if lta_start_rule:
+            a_start = max(1, start_frame // self.stride) - 1
+        else:
+            a_start = start_frame // self.stride
+        a_end = min(feats.shape[0] - 1, end_frame // self.stride)
+        window = feats[a_start:a_end]
+        try:
+            if self.split == "train" and rng is not None:
+                out = sampling.random_sampling(window, self.num_segments, rng)
+            else:
+                out = sampling.uniform_sampling(window, self.num_segments)
+            return np.asarray(out, dtype=np.float32)
+        except (IndexError, ValueError):
+            logger.debug("Empty feature window for %s [%d, %d); zero-filling",
+                         video_uid, a_start, a_end)
+            return np.zeros((self.num_segments, self.features_size), np.float32)
+
+
+class Ego4dRecognitionDataset(Ego4dFHODataset):
+    """AR: sliding window of ``window_size`` actions, labels at the center only.
+
+    Reference: /root/reference/data/ego4d_fho.py:177-241.
+    """
+
+    def __init__(self, split: str, num_segments: int = 3, root: str = "data/ego4d",
+                 features: str = "omnivore_video_swinl", version: int = 1,
+                 window_size: int = 9, randomize_train: bool = True,
+                 verbose: bool = True, transform=None):
+        super().__init__(split, root, features, version, num_segments, verbose)
+        del transform  # graph construction is static (data/graphs.py)
+        self.window_size = window_size
+        self.randomize_train = randomize_train
+
+        clip_annotations = {
+            cu: sorted([e for e in self.annotations if e.clip_uid == cu],
+                       key=lambda x: x.id)
+            for cu in self.clip_uids
+        }
+        self.action_segments: List[AREntry] = []
+        for clip_uid, actions in clip_annotations.items():
+            video_uid = actions[0].video_uid
+            for i in range(len(actions)):
+                left = i - (window_size // 2)
+                right = i + (window_size - window_size // 2)
+                sel = [0] * max(0, -left)
+                sel += list(range(max(0, left), min(len(actions), right)))
+                sel += [len(actions) - 1] * max(0, right - len(actions))
+                self.action_segments.append(
+                    AREntry(video_uid, clip_uid, [actions[s] for s in sel]))
+
+    def graph_spec(self, k: float = 1.0) -> GraphSpec:
+        return ar_spec(self.window_size, k)
+
+    def __len__(self) -> int:
+        return len(self.action_segments)
+
+    def get(self, idx: int, rng: Optional[np.random.Generator] = None) -> Dict[str, np.ndarray]:
+        seg = self.action_segments[idx]
+        center = self.window_size // 2
+        y = np.full((self.window_size, 2), -1, dtype=np.int32)
+        y[center, 0] = seg.actions[center].verb_label
+        y[center, 1] = seg.actions[center].noun_label
+        use_rng = rng if (self.split == "train" and self.randomize_train) else None
+        x = np.stack([
+            self._clip_features(seg.video_uid, a.start_frame, a.end_frame, use_rng)
+            for a in seg.actions
+        ])
+        return {"x": x, "y": y}
+
+
+class Ego4dLTADataset(Ego4dFHODataset):
+    """LTA: 2 input clips + 20 forecast nodes (features = mean of inputs).
+
+    Reference: /root/reference/data/ego4d_fho.py:311-396.
+    """
+
+    def __init__(self, split: str, num_segments: int = 3, num_input_clips: int = 2,
+                 num_forecasted_clips: int = 20, append_node: str = "avg",
+                 root: str = "data/ego4d", features: str = "omnivore_video_swinl",
+                 version: int = 1, verbose: bool = True, transform=None):
+        super().__init__(split, root, features, version, num_segments, verbose)
+        del transform
+        self.n_input_clips = num_input_clips
+        self.n_forecast_clips = num_forecasted_clips
+        self.append_node = append_node
+
+        clip_annotations = {
+            cu: sorted([e for e in self.annotations if e.clip_uid == cu],
+                       key=lambda x: x.id)
+            for cu in self.clip_uids
+        }
+        self.lta_annotations: List[LTAEntry] = []
+        for clip_uid, videos in clip_annotations.items():
+            video_uid = videos[0].video_uid
+            if "test" in split:
+                for i in range(len(videos) - num_input_clips):
+                    inp = videos[i:i + num_input_clips]
+                    self.lta_annotations.append(
+                        LTAEntry(video_uid, clip_uid, inp[-1].id, inp, []))
+            else:
+                for i in range(len(videos) - num_input_clips - num_forecasted_clips):
+                    inp = videos[i:i + num_input_clips]
+                    fore = videos[i + num_input_clips:
+                                  i + num_input_clips + num_forecasted_clips]
+                    self.lta_annotations.append(
+                        LTAEntry(video_uid, clip_uid, inp[-1].id, inp, fore))
+
+    def graph_spec(self, k: float = 1.0) -> GraphSpec:
+        return lta_spec(self.n_input_clips, self.n_forecast_clips, k)
+
+    def __len__(self) -> int:
+        return len(self.lta_annotations)
+
+    def get(self, idx: int, rng: Optional[np.random.Generator] = None) -> Dict[str, np.ndarray]:
+        ann = self.lta_annotations[idx]
+        n = self.n_input_clips + self.n_forecast_clips
+        y = np.full((n, 2), -1, dtype=np.int32)
+        if "test" in self.split:
+            y[self.n_input_clips:, :] = 0
+        else:
+            for j, clip in enumerate(ann.forecast_clips):
+                y[self.n_input_clips + j] = (clip.verb_label, clip.noun_label)
+
+        use_rng = rng if self.split == "train" else None
+        inputs = [self._clip_features(ann.video_uid, a.start_frame, a.end_frame,
+                                      use_rng, lta_start_rule=True)
+                  for a in ann.input_clips]
+        if self.append_node == "random":
+            gen = rng or np.random.default_rng(0)
+            fill = [gen.random(inputs[-1].shape).astype(np.float32)
+                    for _ in range(self.n_forecast_clips)]
+        elif self.append_node == "zero":
+            fill = [np.zeros_like(inputs[-1]) for _ in range(self.n_forecast_clips)]
+        else:  # avg (reference default in configs)
+            mean = np.stack(inputs).mean(0)
+            fill = [mean for _ in range(self.n_forecast_clips)]
+        x = np.stack(inputs + fill)
+        return {"x": x, "y": y, "clip_uid": ann.clip_uid, "last_idx": ann.id}
+
+
+class Ego4dAnticipationDataset(Ego4dFHODataset):
+    """Short-term anticipation over pre-action seconds.
+
+    Reference: /root/reference/data/ego4d_fho.py:245-308 (not used by the two
+    mains, kept for capability parity).
+    """
+
+    def __init__(self, split: str, num_segments: int = 3, root: str = "data/ego4d",
+                 features: str = "omnivore_video_swinl",
+                 anticipation_secs: int = 7, blackout_secs: int = 1,
+                 append_node: Optional[str] = None, version: int = 1,
+                 verbose: bool = True, transform=None):
+        super().__init__(split, root, features, version, num_segments, verbose)
+        del transform
+        self.anticipation_secs = anticipation_secs
+        self.blackout_secs = blackout_secs
+        self.append_node = append_node
+
+    @property
+    def num_nodes(self) -> int:
+        n = self.anticipation_secs - self.blackout_secs
+        return n + (1 if self.append_node is not None else 0)
+
+    def __len__(self) -> int:
+        return len(self.annotations)
+
+    def get(self, idx: int, rng: Optional[np.random.Generator] = None) -> Dict[str, np.ndarray]:
+        action = self.annotations[idx]
+        feats = self._store[action.video_uid]
+        data, n_secs = [], self.anticipation_secs - self.blackout_secs
+        for sec in range(-self.anticipation_secs, -self.blackout_secs):
+            start = max(1, (action.start_frame + sec * 30) // self.stride) - 1
+            end = max(1, (action.start_frame + (1 + sec) * 30) // self.stride)
+            window = feats[start:end]
+            try:
+                if self.split == "train" and rng is not None:
+                    data.append(np.asarray(
+                        sampling.random_sampling(window, self.num_segments, rng),
+                        dtype=np.float32))
+                else:
+                    data.append(np.asarray(
+                        sampling.uniform_sampling(window, self.num_segments),
+                        dtype=np.float32))
+            except (IndexError, ValueError):
+                data.append(np.zeros((self.num_segments, self.features_size),
+                                     np.float32))
+        y = np.full((self.num_nodes, 2), -1, dtype=np.int32)
+        if self.append_node is not None:
+            if self.append_node == "random":
+                gen = rng or np.random.default_rng(0)
+                data.append(gen.random(data[-1].shape).astype(np.float32))
+            elif self.append_node == "zero":
+                data.append(np.zeros_like(data[-1]))
+            else:
+                data.append(np.stack(data).mean(0))
+        y[-1] = (action.verb_label, action.noun_label)
+        del n_secs
+        return {"x": np.stack(data), "y": y}

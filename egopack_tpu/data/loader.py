@@ -1,0 +1,169 @@
+"""Host-side batching: dense collation, multiloader schedule, async prefetch.
+
+Replaces the PyG DataLoader + ``multiloader`` stack
+(/root/reference/utils/dataloading.py:8-70). Collation stacks fixed-shape numpy
+samples into dense ``(B, N, S, D)`` arrays with a ``valid`` mask, so XLA sees
+one static shape per task forever. ``MultiLoader`` preserves the reference's
+epoch semantics exactly: epoch length = longest enabled loader, exhausted
+loaders restart until all have completed once (:24-47).
+
+Prefetching uses a background thread per loader (the device runs async, so one
+host core still overlaps batch assembly with TPU compute).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from .base import BaseDataset
+
+_ARRAY_KEYS_PASSTHROUGH = ("uid", "clip_uid", "last_idx")
+
+
+def collate(samples: List[Dict[str, Any]], pad_to: Optional[int] = None) -> Dict[str, Any]:
+    """Stack sample dicts; optionally right-pad to ``pad_to`` with valid mask."""
+    batch: Dict[str, Any] = {}
+    n = len(samples)
+    size = pad_to or n
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if key in _ARRAY_KEYS_PASSTHROUGH:
+            batch[key] = vals + [vals[-1]] * (size - n)
+            continue
+        arr = np.stack(vals)
+        if size > n:
+            pad = np.repeat(arr[-1:], size - n, axis=0)
+            if np.issubdtype(arr.dtype, np.integer):
+                pad = np.full_like(pad, -1)  # padded labels are ignored
+            else:
+                pad = np.zeros_like(pad)
+            arr = np.concatenate([arr, pad], axis=0)
+        batch[key] = arr
+    valid = np.zeros(size, dtype=bool)
+    valid[:n] = True
+    batch["valid"] = valid
+    return batch
+
+
+class DataLoader:
+    """Deterministic, re-iterable loader over a dense dataset.
+
+    Mirrors ``build_dataloader`` (/root/reference/utils/dataloading.py:56-70):
+    seeded shuffle, ``drop_last`` for train; val pads the final partial batch
+    (the reference keeps it ragged — dense TPU batches can't, so we pad+mask).
+    """
+
+    def __init__(self, dataset: BaseDataset, batch_size: int, shuffle: bool,
+                 drop_last: bool, seed: int = 0, prefetch: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def _index_batches(self) -> List[np.ndarray]:
+        rng = np.random.default_rng((self.seed, self._epoch))
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng.shuffle(order)
+        nb = len(self)
+        return [order[i * self.batch_size:(i + 1) * self.batch_size]
+                for i in range(nb)]
+
+    def _produce(self) -> Iterator[Dict[str, Any]]:
+        sample_rng = np.random.default_rng((self.seed, self._epoch, 1))
+        for idxs in self._index_batches():
+            samples = [self.dataset.get(int(i), sample_rng) for i in idxs]
+            yield collate(samples, pad_to=self.batch_size)
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        if self.prefetch <= 0:
+            yield from self._produce()
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        err: List[BaseException] = []
+
+        def worker():
+            try:
+                for b in self._produce():
+                    q.put(b)
+            except BaseException as e:  # propagate to consumer
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+
+
+def build_dataloader(dataset: BaseDataset, batch_size: int, shuffle: bool,
+                     num_workers: int, drop_last: bool, seed: int = 0) -> DataLoader:
+    """Signature-compatible with the reference builder; ``num_workers`` maps to
+    prefetch depth (threading model, not process workers)."""
+    return DataLoader(dataset, batch_size, shuffle, drop_last, seed,
+                      prefetch=max(2, num_workers))
+
+
+class MultiLoader:
+    """Zip N loaders; epoch ends when ALL have been exhausted at least once.
+
+    Exhausted loaders restart immediately (wraparound), matching
+    /root/reference/utils/dataloading.py:8-47. Loaders with weight 0 (or None)
+    yield ``None`` forever.
+    """
+
+    def __init__(self, loaders: Sequence[Optional[DataLoader]],
+                 weights: Sequence[float]):
+        self.loaders = list(loaders)
+        self.weights = list(weights)
+
+    def __len__(self) -> int:
+        active = [len(l) for l, w in zip(self.loaders, self.weights)
+                  if l is not None and w > 0]
+        return max(active) if active else 0
+
+    def __iter__(self):
+        iterators = [iter(l) if l is not None and w > 0 else None
+                     for l, w in zip(self.loaders, self.weights)]
+        completed = [it is None for it in iterators]
+        while True:
+            out = []
+            for i, l in enumerate(self.loaders):
+                if iterators[i] is None:
+                    out.append(None)
+                    continue
+                try:
+                    out.append(next(iterators[i]))
+                except StopIteration:
+                    completed[i] = True
+                    if all(completed):
+                        return
+                    iterators[i] = iter(l)
+                    out.append(next(iterators[i]))
+            yield tuple(out)
+
+
+multiloader = MultiLoader  # reference-compatible alias

@@ -1,0 +1,46 @@
+"""Config system: composition, overrides, interpolation, instantiation."""
+
+import os.path as osp
+
+from egopack_tpu.config import compose, default_config_dir, instantiate
+
+
+def test_compose_defaults():
+    cfg = compose(default_config_dir())
+    assert cfg.seed == 1
+    assert cfg.batch_size == 4
+    assert cfg.model.hidden_size == 1024
+    assert cfg.model.temporal_pooling.hidden_size == 4096
+    assert cfg.dataset_recognition.num_segments == 3
+    # interpolation: T_max mirrors num_epochs (reference configs/defaults.yaml:24)
+    assert cfg.lr_scheduler.T_max == cfg.num_epochs
+
+
+def test_cli_overrides_mtl_sweep():
+    # the exact override list emitted by experiments/mtl.yaml in the reference
+    overrides = [
+        "seed=1", "k=1", "model=graph", "num_epochs=40",
+        "model/temporal_pooling=trn", "model.temporal_pooling.hidden_size=1024",
+        "model.temporal_pooling.dropout=0.5", "model.hidden_size=1024",
+        "model.depth=3", "num_workers=1", "batch_size=16", "save_model=True",
+        "dataset_recognition.features=omnivore_video_swinl",
+        "enabled_tasks=[ar,oscc,lta]",
+    ]
+    cfg = compose(default_config_dir(), overrides=overrides)
+    assert cfg.k == 1
+    assert cfg.num_epochs == 40
+    assert cfg.lr_scheduler.T_max == 40  # interpolation resolves post-override
+    assert cfg.batch_size == 16
+    assert cfg.model.temporal_pooling.hidden_size == 1024
+    assert cfg.save_model is True
+    assert cfg.enabled_tasks == ["ar", "oscc", "lta"]
+
+
+def test_instantiate_target():
+    cfg = {"_target_": "collections.OrderedDict", "a": 1}
+    obj = instantiate(cfg)
+    assert obj["a"] == 1
+
+
+def test_config_dir_exists():
+    assert osp.isdir(default_config_dir())

@@ -1,0 +1,147 @@
+"""Data layer: samplers (golden parity), graph specs, datasets on the fixture,
+collation and multiloader semantics."""
+
+import numpy as np
+import pytest
+
+from egopack_tpu.data import (Ego4dLTADataset, Ego4dOSCCDataset,
+                              Ego4dPNRDataset, Ego4dRecognitionDataset,
+                              MultiLoader, ar_spec, build_dataloader, collate,
+                              lta_extra_adjacency_host, lta_spec, oscc_spec,
+                              radius_adjacency)
+from egopack_tpu.data.sampling import (random_sampling_indices,
+                                       uniform_sampling_indices)
+
+
+# --- samplers: semantics pinned against /root/reference/data/base_dataset.py:128-155
+def test_uniform_sampling_golden():
+    # uniform_sampling_indices(10, 8) per the reference __main__ block
+    np.testing.assert_array_equal(
+        uniform_sampling_indices(10, 8), [0, 1, 2, 3, 5, 6, 7, 8])
+    got = uniform_sampling_indices(100, 8)
+    expect = np.linspace(0, 100, 8, endpoint=False, dtype=int) + (100 // 8 // 2)
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_random_sampling_bounds(rng):
+    for size, n in [(5, 8), (10, 8), (100, 8), (7, 3), (3, 3)]:
+        idx = random_sampling_indices(size, n, rng)
+        assert idx.shape == (n,)
+        assert (idx >= 0).all() and (idx < max(size, 1)).all()
+        assert (np.diff(idx) >= 0).all() or size // n == 0
+
+
+def test_random_sampling_strided_structure(rng):
+    # with size divisible by n, index i lies in [i*size/n, i*size/n + size/n)
+    size, n = 96, 8
+    for _ in range(10):
+        idx = random_sampling_indices(size, n, rng)
+        base = np.arange(n) * (size // n)
+        assert ((idx >= base) & (idx < base + size // n)).all()
+
+
+# --- graph specs
+def test_chain_adjacency_k1():
+    spec = ar_spec(9, k=1.0)
+    adj = spec.adjacency
+    assert adj.shape == (9, 9)
+    for i in range(9):
+        for j in range(9):
+            assert adj[i, j] == (abs(i - j) == 1)
+
+
+def test_radius_adjacency_k2():
+    adj = radius_adjacency(np.arange(5), 2.5)
+    assert adj[0, 2] and not adj[0, 3]
+
+
+def test_lta_extra_adjacency_quirk():
+    # (y[:,0] > 0) strictly: forecast clips with verb 0 shrink the target set
+    spec = lta_spec(2, 20, k=1.0)
+    y_verb = np.array([-1, -1] + [1] * 20)
+    adj = lta_extra_adjacency_host(spec, y_verb)
+    assert adj[2:, 1].all() and not adj[:, 0].any()
+    y_verb2 = np.array([-1, -1] + [1] * 10 + [0] * 10)
+    adj2 = lta_extra_adjacency_host(spec, y_verb2)
+    assert adj2[2:12, 1].all() and not adj2[12:, 1].any()
+
+
+# --- datasets over the synthetic fixture
+def test_ar_dataset_shapes(ego4d_root, rng):
+    ds = Ego4dRecognitionDataset("train", num_segments=3, root=ego4d_root)
+    assert len(ds) == 60  # 2 clips × 30 actions
+    s = ds.get(0, rng)
+    assert s["x"].shape == (9, 3, 32)
+    assert s["y"].shape == (9, 2)
+    center = 4
+    assert (s["y"][np.arange(9) != center] == -1).all()
+    assert s["y"][center, 0] >= 0
+    assert ds.num_class_labels == (12, 9)
+
+
+def test_lta_dataset_shapes(ego4d_root, rng):
+    ds = Ego4dLTADataset("train", num_segments=3, root=ego4d_root)
+    # 30 actions per clip → 30 - 2 - 20 = 8 windows per clip × 2 clips
+    assert len(ds) == 16
+    s = ds.get(0, rng)
+    assert s["x"].shape == (22, 3, 32)
+    assert (s["y"][:2] == -1).all() and (s["y"][2:] >= 0).all()
+    # forecast node features are the mean of the two input clips
+    np.testing.assert_allclose(s["x"][2], s["x"][:2].mean(0), rtol=1e-6)
+
+
+def test_oscc_dataset(ego4d_root, rng):
+    ds = Ego4dOSCCDataset("train", num_segments=3, root=ego4d_root, aug_prob=0)
+    assert len(ds) == 24
+    s = ds.get(0, rng)
+    assert s["x"].shape == (4, 3, 32)
+    assert s["y"] in (0, 1)
+    # val sampling is deterministic
+    dv = Ego4dOSCCDataset("val", num_segments=3, root=ego4d_root)
+    a, b = dv.get(0), dv.get(0)
+    np.testing.assert_array_equal(a["x"], b["x"])
+
+
+def test_pnr_dataset(ego4d_root, rng):
+    ds = Ego4dPNRDataset("train", num_segments=16, root=ego4d_root)
+    # only state-change samples keep a pnr_frame (12 of 24)
+    assert len(ds) == 12
+    s = ds.get(0, rng)
+    assert s["x"].shape == (16, 3, 32)
+    assert s["y"].sum() == 1  # one-hot at nearest frame
+    v = Ego4dPNRDataset("val", num_segments=16, root=ego4d_root).get(0)
+    assert v["y"].sum() == 1
+
+
+def test_collate_padding():
+    samples = [{"x": np.ones((4, 3, 8), np.float32), "y": np.int32(1)}
+               for _ in range(3)]
+    batch = collate(samples, pad_to=5)
+    assert batch["x"].shape == (5, 4, 3, 8)
+    assert batch["valid"].tolist() == [True] * 3 + [False] * 2
+    assert (batch["y"][3:] == -1).all()
+
+
+def test_multiloader_wraparound(ego4d_root):
+    ar = Ego4dRecognitionDataset("train", num_segments=3, root=ego4d_root)
+    oscc = Ego4dOSCCDataset("train", num_segments=3, root=ego4d_root, aug_prob=0)
+    dl_ar = build_dataloader(ar, 8, True, 0, True, seed=1)     # 7 batches
+    dl_oscc = build_dataloader(oscc, 8, True, 0, True, seed=1)  # 3 batches
+    ml = MultiLoader([dl_ar, dl_oscc], [1.0, 1.0])
+    steps = list(ml)
+    assert len(steps) == len(ml) == 7  # epoch = longest loader
+    assert all(a is not None and o is not None for a, o in steps)
+    # weight 0 → None stream
+    ml0 = MultiLoader([dl_ar, dl_oscc], [1.0, 0.0])
+    first = next(iter(ml0))
+    assert first[1] is None
+
+
+def test_dataloader_determinism(ego4d_root):
+    ds = Ego4dOSCCDataset("train", num_segments=3, root=ego4d_root, aug_prob=0)
+    dl = build_dataloader(ds, 4, True, 0, True, seed=7)
+    dl.set_epoch(3)
+    b1 = [b["y"].copy() for b in dl]
+    b2 = [b["y"].copy() for b in dl]
+    for a, b in zip(b1, b2):
+        np.testing.assert_array_equal(a, b)
