@@ -1,0 +1,72 @@
+"""Shared temporal-graph backbone.
+
+Mirrors ``Graph`` (/root/reference/models/graph.py:15-65): pre-dropout → TRN
+pooling → ``x + net(x + PE(pos))`` where net = depth × [SAGEConv(project=True)
+→ graph-LayerNorm → LeakyReLU(0.2)] + Linear. The TPU-native difference: the
+graph is a dense static in-neighbor mask, all four task branches share this one
+module inside a single jitted step, and node masks make padded val batches
+exact.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import instantiate
+from .layers import DenseSAGEConv, GraphLayerNorm, TLinear, positional_encoding
+from .pooling import TRNPooling
+
+
+class TemporalGraph(nn.Module):
+    """Temporal backbone over dense per-task graphs.
+
+    Inputs: ``x (B, N, S, D)``, ``adj (N, N) | (B, N, N)`` bool in-neighbor
+    mask, ``pos (N,)`` node positions, ``node_mask (B, N)`` valid-node mask.
+    Output: node features ``(B, N, hidden_size)``.
+    """
+
+    input_size: int
+    hidden_size: int = 1024
+    depth: int = 3
+    pre_dropout: float = 0.0
+    temporal_pooling: Optional[Any] = None  # config node or linen module
+    num_segments: int = 8
+
+    def setup(self):
+        tp = self.temporal_pooling
+        if isinstance(tp, dict):
+            # hydra-style: instantiate(cfg, input_size, hidden_size, num_segments)
+            # (/root/reference/models/graph.py:33)
+            tp = instantiate(tp, self.input_size, self.hidden_size,
+                             self.num_segments)
+        elif tp is None:
+            tp = TRNPooling(self.input_size, self.hidden_size, self.num_segments)
+        self.pooling = tp
+        self.pre_drop = nn.Dropout(self.pre_dropout)
+        self.convs = [DenseSAGEConv(self.hidden_size, aggr="mean", project=True,
+                                    name=f"sage{i}") for i in range(self.depth)]
+        self.norms = [GraphLayerNorm(name=f"gn{i}") for i in range(self.depth)]
+        self.out_lin = TLinear(self.hidden_size, name="out_lin")
+
+    def __call__(self, x: jax.Array, adj: jax.Array, pos: jax.Array,
+                 node_mask: Optional[jax.Array] = None,
+                 train: bool = False) -> jax.Array:
+        x = self.pre_drop(x, deterministic=not train)
+        h = self.pooling(x, train=train)  # (B, N, H)
+
+        if self.depth <= 0:
+            return h
+
+        pe = positional_encoding(pos, self.hidden_size)
+        z = h + pe if pe.ndim == h.ndim else h + pe[None]
+        for conv, norm in zip(self.convs, self.norms):
+            z = conv(z, adj)
+            z = norm(z, node_mask)
+            z = nn.leaky_relu(z, negative_slope=0.2)
+        z = self.out_lin(z)
+        # global residual (/root/reference/models/graph.py:63)
+        return h + z

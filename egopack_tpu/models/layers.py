@@ -1,0 +1,163 @@
+"""Core layers: torch-init Linear, dense SAGE convolution, graph-mode
+LayerNorm, sinusoidal positional encoding.
+
+Each layer documents the exact reference semantics it reproduces; the
+*implementations* are dense, mask-based and statically shaped so XLA tiles them
+onto the MXU — no scatter/gather message passing exists on the device path
+(SURVEY.md §2.4 maps each PyG CUDA kernel to its dense equivalent here).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def torch_kernel_init():
+    """torch.nn.Linear default: kaiming_uniform(a=sqrt(5)) == U(±1/sqrt(fan_in)).
+
+    Matching init keeps training dynamics comparable to the reference without
+    copying any code (it is the documented torch default).
+    """
+    return nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+class TLinear(nn.Module):
+    """Linear layer with torch-default initialization (weight and bias)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_features = x.shape[-1]
+        kernel = self.param("kernel", torch_kernel_init(),
+                            (in_features, self.features), jnp.float32)
+        bound = 1.0 / math.sqrt(in_features)
+
+        def bias_init(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        dtype = self.dtype or x.dtype
+        y = jnp.dot(x.astype(dtype), kernel.astype(dtype),
+                    preferred_element_type=jnp.float32)
+        if self.use_bias:
+            bias = self.param("bias", bias_init, (self.features,), jnp.float32)
+            y = y + bias
+        return y
+
+
+class LayerNorm(nn.Module):
+    """Per-feature LayerNorm with torch defaults (eps=1e-5, affine)."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        x32 = x.astype(jnp.float32)
+        mean = x32.mean(-1, keepdims=True)
+        var = ((x32 - mean) ** 2).mean(-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(x.dtype)
+
+
+class GraphLayerNorm(nn.Module):
+    """PyG ``gnn.LayerNorm(mode='graph')`` called WITHOUT a batch vector.
+
+    The reference backbone wires LayerNorm into ``gnn.Sequential`` as
+    ``"x -> x"`` (/root/reference/models/graph.py:43), so PyG normalizes over
+    the *entire batched node tensor*: ``x = x - x.mean(); x / (x.std(unbiased
+    =False) + eps)`` followed by a per-feature affine. This cross-sample
+    coupling is load-bearing for parity — a per-node LayerNorm trains
+    differently. Masked here so padded nodes don't pollute the statistics.
+    """
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, node_mask: Optional[jax.Array] = None) -> jax.Array:
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        x32 = x.astype(jnp.float32)
+        if node_mask is None:
+            mean = x32.mean()
+            var = ((x32 - mean) ** 2).mean()
+        else:
+            m = node_mask.astype(jnp.float32)[..., None]  # (B, N, 1)
+            count = jnp.maximum(m.sum() * dim, 1.0)
+            mean = (x32 * m).sum() / count
+            var = (((x32 - mean) ** 2) * m).sum() / count
+        y = (x32 - mean) / (jnp.sqrt(var) + self.epsilon)
+        return (y * scale + bias).astype(x.dtype)
+
+
+class DenseSAGEConv(nn.Module):
+    """GraphSAGE convolution over a dense in-neighbor mask.
+
+    Matches PyG ``SAGEConv`` math (documented behavior of
+    torch_geometric.nn.SAGEConv, used at /root/reference/models/graph.py:42 with
+    ``project=True`` and at /root/reference/models/graphONE/graphONE.py:60 with
+    ``aggr='max', bias=False, project=False``):
+
+    - ``project``: messages are ``relu(W_p x_j + b_p)`` instead of raw ``x_j``
+    - aggregation over in-neighbors ``j`` with ``adj[t, j] = 1`` (mean or max);
+      a node with no in-neighbors aggregates to 0 (PyG scatter semantics)
+    - output ``W_l · agg (+ b_l) + W_r · x_t`` — root weight never has a bias
+
+    Dense form: aggregation is one (B, N, N) × (B, N, H) matmul (mean) or a
+    masked max — MXU-friendly, no scatter.
+    """
+
+    features: int
+    aggr: str = "mean"
+    project: bool = False
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, adj: jax.Array) -> jax.Array:
+        # x: (B, N, H); adj: (B, N, N) or (N, N) bool in-neighbor mask
+        if adj.ndim == 2:
+            adj = jnp.broadcast_to(adj[None], (x.shape[0],) + adj.shape)
+        msg = x
+        if self.project:
+            msg = nn.relu(TLinear(x.shape[-1], name="lin_project")(x))
+        a = adj.astype(x.dtype)
+        if self.aggr == "mean":
+            deg = jnp.maximum(a.sum(-1, keepdims=True), 1.0)
+            agg = jnp.einsum("bts,bsh->bth", a, msg,
+                             preferred_element_type=jnp.float32).astype(x.dtype) / deg
+            agg = jnp.where(adj.any(-1, keepdims=True), agg, 0.0)
+        elif self.aggr == "max":
+            neg = jnp.finfo(x.dtype).min
+            masked = jnp.where(adj[..., None], msg[:, None, :, :], neg)
+            agg = masked.max(axis=2)
+            agg = jnp.where(adj.any(-1, keepdims=True), agg, 0.0)
+        else:
+            raise ValueError(f"Unknown aggregation: {self.aggr}")
+        out = TLinear(self.features, use_bias=self.use_bias, name="lin_l")(agg)
+        out = out + TLinear(self.features, use_bias=False, name="lin_r")(x)
+        return out
+
+
+def positional_encoding(pos: jax.Array, out_channels: int,
+                        base_freq: float = 1e-4) -> jax.Array:
+    """PyG ``gnn.PositionalEncoding`` (used at /root/reference/models/graph.py:37):
+    frequencies = logspace(0, 1, C/2, base=base_freq); output =
+    ``[sin(pos·f), cos(pos·f)]`` concatenated on the channel axis."""
+    half = out_channels // 2
+    if half > 1:
+        exponents = jnp.linspace(0.0, 1.0, half)
+    else:
+        exponents = jnp.zeros((max(half, 1),))
+    freqs = jnp.asarray(base_freq) ** exponents  # (half,)
+    angles = pos.astype(jnp.float32)[..., None] * freqs  # (..., half)
+    return jnp.concatenate([jnp.sin(angles), jnp.cos(angles)], axis=-1)

@@ -1,0 +1,259 @@
+"""Model layer: numeric parity of layers vs hand-computed reference math,
+shape contracts of backbone + heads, GraphONE interaction semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from egopack_tpu.data.graphs import ar_spec, oscc_spec
+from egopack_tpu.models import (DenseSAGEConv, GraphLayerNorm, LTATask,
+                                OSCCTask, PNRTask, RecognitionTask,
+                                TemporalGraph, TRNPooling, positional_encoding)
+from egopack_tpu.models.graphone import (GraphONE, PrototypeBank,
+                                         finalize_prototypes)
+from egopack_tpu.ops.knn import cosine_dissimilarity, prototype_topk
+from egopack_tpu.ops.losses import (bce_with_logits, cross_entropy,
+                                    masked_mean, sigmoid_focal_loss)
+
+
+def test_positional_encoding_matches_pyg_formula():
+    # PyG: freqs = logspace(0, 1, C/2, base=1e-4); out = [sin, cos] concat
+    pos = np.array([-4.0, 0.0, 3.0])
+    C = 8
+    got = np.asarray(positional_encoding(jnp.asarray(pos), C))
+    freqs = 1e-4 ** np.linspace(0, 1, C // 2)
+    ang = pos[:, None] * freqs[None]
+    expect = np.concatenate([np.sin(ang), np.cos(ang)], -1)
+    np.testing.assert_allclose(got, expect, atol=1e-6)
+
+
+def test_dense_sage_mean_parity():
+    """DenseSAGEConv(project=True, mean) vs hand-computed PyG SAGEConv math."""
+    rng = np.random.default_rng(0)
+    B, N, H = 2, 4, 8
+    x = rng.normal(size=(B, N, H)).astype(np.float32)
+    adj = np.asarray(oscc_spec().adjacency)  # 4-node chain
+
+    conv = DenseSAGEConv(H, aggr="mean", project=True)
+    params = conv.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(adj))
+    out = np.asarray(conv.apply(params, jnp.asarray(x), jnp.asarray(adj)))
+
+    p = params["params"]
+    Wp, bp = np.asarray(p["lin_project"]["kernel"]), np.asarray(p["lin_project"]["bias"])
+    Wl, bl = np.asarray(p["lin_l"]["kernel"]), np.asarray(p["lin_l"]["bias"])
+    Wr = np.asarray(p["lin_r"]["kernel"])
+
+    msg = np.maximum(x @ Wp + bp, 0)
+    expect = np.zeros_like(x)
+    for b in range(B):
+        for t in range(N):
+            nbrs = np.nonzero(adj[t])[0]
+            agg = msg[b, nbrs].mean(0) if len(nbrs) else np.zeros(H)
+            expect[b, t] = agg @ Wl + bl + x[b, t] @ Wr
+    np.testing.assert_allclose(out, expect, atol=1e-5)
+
+
+def test_dense_sage_max_no_neighbors():
+    # a node with zero in-neighbors aggregates to 0 (PyG scatter semantics)
+    x = jnp.ones((1, 2, 4))
+    adj = jnp.zeros((2, 2), bool)
+    conv = DenseSAGEConv(4, aggr="max")
+    params = conv.init(jax.random.PRNGKey(0), x, adj)
+    out = conv.apply(params, x, adj)
+    p = params["params"]
+    expect = jnp.zeros((4,)) @ p["lin_l"]["kernel"] + p["lin_l"]["bias"] \
+        + x[0, 0] @ p["lin_r"]["kernel"]
+    np.testing.assert_allclose(np.asarray(out[0, 0]), np.asarray(expect), atol=1e-6)
+
+
+def test_graph_layer_norm_global_stats():
+    """mode='graph' without batch: normalize over the ENTIRE tensor."""
+    rng = np.random.default_rng(1)
+    x = rng.normal(2.0, 3.0, size=(2, 3, 4)).astype(np.float32)
+    ln = GraphLayerNorm()
+    params = ln.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out = np.asarray(ln.apply(params, jnp.asarray(x)))
+    mean, std = x.mean(), x.std()  # global, biased
+    np.testing.assert_allclose(out, (x - mean) / (std + 1e-5), atol=1e-5)
+    # masked: stats over valid nodes only
+    mask = np.array([[True, True, True], [True, False, False]])
+    out_m = np.asarray(ln.apply(params, jnp.asarray(x), jnp.asarray(mask)))
+    sel = x[mask]
+    np.testing.assert_allclose(out_m[0], (x[0] - sel.mean()) / (sel.std() + 1e-5),
+                               atol=1e-5)
+
+
+def test_trn_pooling_shapes():
+    tp = TRNPooling(input_size=16, output_size=32, num_segments=3,
+                    hidden_size=24, dropout=0.5)
+    x = jnp.ones((2, 9, 3, 16))
+    params = tp.init(jax.random.PRNGKey(0), x)
+    out = tp.apply(params, x)
+    assert out.shape == (2, 9, 32)
+    # train-mode dropout needs an rng and changes values
+    out_t = tp.apply(params, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+    assert not np.allclose(np.asarray(out), np.asarray(out_t))
+
+
+def test_backbone_forward_and_residual():
+    spec = ar_spec(9, k=1.0)
+    model = TemporalGraph(input_size=16, hidden_size=32, depth=3,
+                          temporal_pooling=None, num_segments=3)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 9, 3, 16)),
+                    dtype=jnp.float32)
+    adj = jnp.asarray(spec.adjacency)
+    pos = jnp.asarray(spec.pos)
+    params = model.init(jax.random.PRNGKey(0), x, adj, pos)
+    out = model.apply(params, x, adj, pos)
+    assert out.shape == (2, 9, 32)
+    # depth=0 → pure pooling output (reference: no net attribute)
+    m0 = TemporalGraph(input_size=16, hidden_size=32, depth=0,
+                       temporal_pooling=None, num_segments=3)
+    p0 = m0.init(jax.random.PRNGKey(0), x, adj, pos)
+    assert m0.apply(p0, x, adj, pos).shape == (2, 9, 32)
+
+
+# --- losses
+def test_cross_entropy_ignore_and_smoothing():
+    logits = jnp.asarray([[2.0, 1.0, 0.1], [0.3, 0.2, 0.1]])
+    labels = jnp.asarray([0, -1])
+    out = np.asarray(cross_entropy(logits, labels))
+    lp = jax.nn.log_softmax(logits[0])
+    np.testing.assert_allclose(out[0], -lp[0], atol=1e-6)
+    assert out[1] == 0.0
+    # smoothing: (1-eps)*nll + eps*mean(-logp)
+    sm = np.asarray(cross_entropy(logits, labels, label_smoothing=0.1))
+    np.testing.assert_allclose(sm[0], 0.9 * (-lp[0]) + 0.1 * (-lp).mean(),
+                               rtol=1e-5)
+
+
+def test_bce_and_focal_match_definitions():
+    logits = jnp.asarray([1.5, -0.3])
+    targets = jnp.asarray([1.0, 0.0])
+    p = jax.nn.sigmoid(logits)
+    expect_bce = -(targets * jnp.log(p) + (1 - targets) * jnp.log(1 - p))
+    np.testing.assert_allclose(np.asarray(bce_with_logits(logits, targets)),
+                               np.asarray(expect_bce), atol=1e-6)
+    pt = p * targets + (1 - p) * (1 - targets)
+    at = 0.5 * targets + 0.5 * (1 - targets)
+    expect_focal = at * expect_bce * (1 - pt) ** 2
+    np.testing.assert_allclose(np.asarray(sigmoid_focal_loss(logits, targets)),
+                               np.asarray(expect_focal), atol=1e-6)
+
+
+def test_masked_mean_includes_ignored_nodes():
+    # denominator counts ALL valid nodes (reference .mean() over zeros)
+    vals = jnp.asarray([1.0, 0.0, 3.0, 5.0])
+    mask = jnp.asarray([True, True, True, False])
+    np.testing.assert_allclose(float(masked_mean(vals, mask)), 4.0 / 3.0)
+
+
+# --- heads
+def test_recognition_head_fusion_sum_and_mean():
+    head = RecognitionTask(name_="ar", input_size=8, features_size=8,
+                           heads=(5, 4), aux_tasks=("oscc", "lta"))
+    x = jnp.ones((2, 3, 8))
+    params = head.init(jax.random.PRNGKey(0), x)
+    feats = head.apply(params, x, method="forward_features")
+    logits = head.apply(params, feats, method="forward_logits")
+    assert logits[0].shape == (2, 3, 5) and logits[1].shape == (2, 3, 4)
+    aux = {"oscc": feats, "lta": feats}
+    fused = head.apply(params, feats, None, aux, method="forward_logits")
+    prim = logits
+    aux_l = [head.apply(params, feats, t, method="forward_aux_logits")
+             for t in aux]
+    expect0 = prim[0] + aux_l[0][0] + aux_l[1][0]
+    np.testing.assert_allclose(np.asarray(fused[0]), np.asarray(expect0),
+                               atol=1e-5)
+    loss = head.compute_loss(logits, jnp.zeros((2, 3, 2), jnp.int32))
+    assert loss.shape == (2, 3)
+
+
+def test_oscc_head_pool_and_loss():
+    head = OSCCTask(name_="oscc", input_size=8, features_size=8)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 4, 8)),
+                    dtype=jnp.float32)
+    params = head.init(jax.random.PRNGKey(0), x)
+    feats = head.apply(params, x, method="forward_features")
+    logits = head.apply(params, feats, method="forward_logits")
+    assert logits.shape == (2, 2)
+    loss = head.compute_loss(logits, jnp.asarray([0, 1]))
+    assert loss.shape == (2,)
+
+
+def test_pnr_head_squeeze():
+    head = PNRTask(name_="pnr", input_size=8, features_size=8)
+    x = jnp.ones((2, 16, 8))
+    params = head.init(jax.random.PRNGKey(0), x)
+    feats = head.apply(params, x, method="forward_features")
+    logits = head.apply(params, feats, method="forward_logits")
+    assert logits.shape == (2, 16)
+    assert head.compute_loss(logits, jnp.zeros((2, 16))).shape == (2, 16)
+
+
+def test_lta_generate():
+    head = LTATask(name_="lta", input_size=8, features_size=8, heads=(6, 5))
+    x = jnp.ones((2, 22, 8))
+    params = head.init(jax.random.PRNGKey(0), x)
+    feats = head.apply(params, x, method="forward_features")
+    logits = head.apply(params, feats, method="forward_logits")
+    preds, _ = head.generate_from_logits(logits, jax.random.PRNGKey(1), K=5)
+    assert preds[0].shape == (2, 22, 5)
+    assert (np.asarray(preds[0]) < 6).all() and (np.asarray(preds[1]) < 5).all()
+
+
+# --- graphone
+def test_prototype_topk_masks_padding():
+    f = jnp.asarray(np.eye(4, 8, dtype=np.float32))
+    bank = jnp.asarray(np.random.default_rng(0).normal(size=(16, 8)),
+                       dtype=jnp.float32)
+    mask = jnp.asarray([True] * 3 + [False] * 13)
+    idx, dist = prototype_topk(f, bank, mask, k=2)
+    assert (np.asarray(idx) < 3).all()
+    assert np.isfinite(np.asarray(dist)).all()
+    # matches brute-force cosine ranking over valid rows
+    d = np.asarray(cosine_dissimilarity(f, bank))[:, :3]
+    np.testing.assert_array_equal(np.asarray(idx)[:, 0], d.argmin(1))
+
+
+def test_finalize_prototypes_padding_and_scaling():
+    sums = {"ar": np.arange(12, dtype=np.float64).reshape(6, 2)}
+    counts = np.array([2, 0, 1, 0, 3, 0])
+    banks = finalize_prototypes(sums, counts, pad_multiple=4)
+    b = banks["ar"]
+    assert b.values.shape[0] == 4 and b.num_valid == 3
+    np.testing.assert_allclose(np.asarray(b.values[0]), [0.0, 0.5])
+    np.testing.assert_allclose(np.asarray(b.values[2]), [8 / 3, 9 / 3])
+
+
+def test_graphone_interact_shapes_and_residual():
+    tasks = ("ar", "oscc")
+    g = GraphONE(task_labels=tasks, features_size=8, hidden_size=8, k=2,
+                 depth=2, residual=True)
+    feats = {t: jnp.asarray(np.random.default_rng(3).normal(size=(6, 8)),
+                            dtype=jnp.float32) for t in tasks}
+    banks = {t: PrototypeBank(
+        jnp.asarray(np.random.default_rng(4).normal(size=(16, 8)),
+                    dtype=jnp.float32),
+        jnp.asarray([True] * 10 + [False] * 6)) for t in tasks}
+    params = g.init(jax.random.PRNGKey(0), feats, banks, method="interact")
+    out, closest = g.apply(params, feats, banks, method="interact")
+    assert out["ar"].shape == (6, 8)
+    assert closest["ar"].shape == (6,)
+    assert (np.asarray(closest["ar"]) < 10).all()
+
+
+def test_graphone_banks_get_no_gradient():
+    g = GraphONE(task_labels=("ar",), features_size=4, hidden_size=4, k=1,
+                 depth=1, freeze=True)
+    feats = {"ar": jnp.ones((2, 4))}
+
+    def loss_fn(bank_vals):
+        banks = {"ar": PrototypeBank(bank_vals, jnp.asarray([True, True]))}
+        params = g.init(jax.random.PRNGKey(0), feats, banks, method="interact")
+        out, _ = g.apply(params, feats, banks, method="interact")
+        return out["ar"].sum()
+
+    grad = jax.grad(loss_fn)(jnp.ones((2, 4)))
+    np.testing.assert_allclose(np.asarray(grad), 0.0)
