@@ -42,12 +42,23 @@ class ConfigNode(dict):
         return ConfigNode({k: copy.deepcopy(v, memo) for k, v in self.items()})
 
 
+_NUM_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+$")
+
+
+def _coerce(obj: Any) -> Any:
+    # YAML 1.1 parses '1e-5' (no dot) as a string; OmegaConf/hydra treat it as
+    # a float — match that
+    if isinstance(obj, str) and _NUM_RE.match(obj):
+        return float(obj)
+    return obj
+
+
 def _wrap(obj: Any) -> Any:
     if isinstance(obj, dict):
         return ConfigNode({k: _wrap(v) for k, v in obj.items()})
     if isinstance(obj, list):
         return [_wrap(v) for v in obj]
-    return obj
+    return _coerce(obj)
 
 
 def to_container(cfg: Any) -> Any:

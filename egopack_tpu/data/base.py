@@ -105,6 +105,13 @@ class FeatureStore:
     def __getitem__(self, uid: str) -> np.ndarray:
         return self._features[uid]
 
+    @property
+    def feature_dim(self) -> int:
+        """Actual feature dimension from the arrays (authoritative over the
+        registry — lets tests/benchmarks use any dim)."""
+        first = next(iter(self._features.values()))
+        return int(first.shape[1])
+
 
 def load_json(path: str, what: str) -> dict:
     if not osp.exists(path):

@@ -89,7 +89,10 @@ class Ego4dFHODataset(BaseDataset):
 
     @property
     def features_size(self) -> int:
-        return FEATURE_SIZES[self.features_path]
+        try:
+            return self._store.feature_dim
+        except StopIteration:
+            return FEATURE_SIZES[self.features_path]
 
     # --- feature gather shared by AR/LTA ---
     def _clip_features(self, video_uid: str, start_frame: int, end_frame: int,

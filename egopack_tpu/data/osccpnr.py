@@ -107,7 +107,10 @@ class Ego4dOSCCDataset(BaseDataset):
 
     @property
     def features_size(self) -> int:
-        return FEATURE_SIZES[self.features_path]
+        try:
+            return self._store.feature_dim
+        except StopIteration:
+            return FEATURE_SIZES[self.features_path]
 
     def graph_spec(self, k: float = 1.0) -> GraphSpec:
         return oscc_spec(k)

@@ -1,0 +1,82 @@
+"""Validation loops (device forward + host meters).
+
+Mirrors /root/reference/validate.py: ``validate`` (AR + OSCC), ``validate_lta``
+(categorical sequence sampling), ``validate_pnr`` (keyframe localization). The
+jitted eval step comes prebuilt from ``MultiTaskSystem.make_eval_step`` so each
+epoch reuses one compiled program; meters consume numpy on host.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.losses import masked_mean
+from .meters import BaseMeter
+
+
+def _node_mask(batch) -> np.ndarray:
+    valid = np.asarray(batch["valid"])
+    n = batch["y"].shape[1] if batch["y"].ndim > 1 else None
+    return np.repeat(valid[:, None], n, 1) if n else valid
+
+
+def validate(eval_step, params, banks, loader, meter: BaseMeter,
+             task_name: str) -> BaseMeter:
+    """Task-generic eval (AR, OSCC) — /root/reference/validate.py:14-60."""
+    for batch in loader:
+        logits, per_elem, _, _ = eval_step(params, _device_batch(batch), banks)
+        valid = np.asarray(batch["valid"])
+        loss = float(masked_mean(per_elem, jnp.asarray(
+            valid if per_elem.ndim == 1 else _node_mask(batch))))
+        y = np.asarray(batch["y"])
+        if task_name == "ar":
+            v = np.asarray(logits[0])[valid].reshape(-1, logits[0].shape[-1])
+            n = np.asarray(logits[1])[valid].reshape(-1, logits[1].shape[-1])
+            meter.update((v, n), y[valid].reshape(-1, 2), loss)
+        elif task_name == "oscc":
+            meter.update(np.asarray(logits)[valid], y[valid], loss)
+        else:
+            raise ValueError(task_name)
+    return meter
+
+
+def validate_lta(eval_step, params, banks, loader, meter: BaseMeter,
+                 sample_fn, rng: jax.Array) -> BaseMeter:
+    """LTA eval with K=5 categorical samples per node
+    (/root/reference/validate.py:63-106)."""
+    for i, batch in enumerate(loader):
+        logits, per_elem, _, _ = eval_step(params, _device_batch(batch), banks)
+        preds, logits = sample_fn(logits, jax.random.fold_in(rng, i))
+        valid = np.asarray(batch["valid"])
+        loss = float(masked_mean(per_elem, jnp.asarray(_node_mask(batch))))
+        y = np.asarray(batch["y"])
+        flat = lambda a: np.asarray(a)[valid].reshape((-1,) + np.asarray(a).shape[2:])
+        meter.update((flat(logits[0]), flat(logits[1])),
+                     y[valid].reshape(-1, 2),
+                     (flat(preds[0]), flat(preds[1])), loss)
+    return meter
+
+
+def validate_pnr(eval_step, params, banks, loader, meter: BaseMeter) -> BaseMeter:
+    """PNR eval with localization metadata
+    (/root/reference/validate.py:109-150)."""
+    for batch in loader:
+        logits, per_elem, _, _ = eval_step(params, _device_batch(batch), banks)
+        valid = np.asarray(batch["valid"])
+        loss = float(masked_mean(per_elem, jnp.asarray(_node_mask(batch))))
+        meter.update(np.asarray(logits)[valid],
+                     np.asarray(batch["y"])[valid], loss,
+                     start_frame=np.asarray(batch["start_frame"])[valid],
+                     end_frame=np.asarray(batch["end_frame"])[valid],
+                     pnr_frame=np.asarray(batch["pnr_frame"])[valid])
+    return meter
+
+
+def _device_batch(batch) -> Dict[str, jnp.ndarray]:
+    """Ship only the arrays the jitted step consumes."""
+    keep = {"x", "y", "valid"}
+    return {k: jnp.asarray(v) for k, v in batch.items() if k in keep}

@@ -38,6 +38,8 @@ class TemporalGraph(nn.Module):
 
     def setup(self):
         tp = self.temporal_pooling
+        if hasattr(tp, "items") and not isinstance(tp, nn.Module):
+            tp = dict(tp)  # flax freezes dict attributes; unfreeze for hydra
         if isinstance(tp, dict):
             # hydra-style: instantiate(cfg, input_size, hidden_size, num_segments)
             # (/root/reference/models/graph.py:33)

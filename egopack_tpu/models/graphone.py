@@ -47,8 +47,13 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+@jax.tree_util.register_pytree_node_class
 class PrototypeBank:
-    """Static-shape prototype bank: padded rows + validity mask."""
+    """Static-shape prototype bank: padded rows + validity mask.
+
+    Registered as a pytree so banks flow through jit/pjit boundaries and can be
+    sharded over a mesh axis (the long-context analog for EgoPack: P grows with
+    the seen verb-noun vocabulary, SURVEY.md §5)."""
 
     def __init__(self, values: jax.Array, mask: jax.Array):
         self.values = values  # (P_pad, F)
@@ -57,6 +62,13 @@ class PrototypeBank:
     @property
     def num_valid(self) -> int:
         return int(np.asarray(self.mask).sum())
+
+    def tree_flatten(self):
+        return (self.values, self.mask), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
 
 
 def finalize_prototypes(sums: Dict[str, jax.Array], counts: jax.Array,
@@ -158,45 +170,53 @@ class GraphONE(nn.Module):
         return cur, idx[:, 0]
 
 
-def build_prototypes(backbone_apply, task_features_fns: Dict[str, Any],
-                     dataloader, n_verbs: int, n_nouns: int,
-                     features_size: int,
-                     pad_multiple: int = 128) -> Dict[str, PrototypeBank]:
-    """Sweep the AR train set and scatter task features into per-joint-label
-    prototype sums (reference graphone.py:17-63).
-
-    ``backbone_apply(batch) -> (B, N, H)`` node features;
-    ``task_features_fns[name](feat) -> (B, N, F)`` per-task projections.
-    The scatter is ``jax.ops.segment_sum`` over ``verb·n_nouns + noun``; under
-    a data mesh each shard accumulates locally and the final sums are summed
-    host-side (psum-equivalent, done once per bank build).
-    """
+def make_prototype_step(system, aux_tasks: Tuple[str, ...],
+                        n_verbs: int, n_nouns: int):
+    """Jitted accumulation step for ``build_prototypes``: one fused program
+    computing backbone features, every aux task's projection and the
+    segment-sums over joint verb·noun labels (reference graphone.py:38-53 —
+    there a per-batch CUDA scatter; here one ``segment_sum`` per task fused by
+    XLA, psum-reducible across a data mesh)."""
     size = n_verbs * n_nouns
-    sums = {t: np.zeros((size, features_size), np.float64)
-            for t in task_features_fns}
-    counts = np.zeros(size, np.int64)
-    n_tasks = len(task_features_fns)
 
     @jax.jit
-    def _accumulate(feat, y, node_mask):
+    def step(params, batch):
+        feat, node_mask = system.backbone_features(params, batch, "ar",
+                                                   train=False, rng=None)
+        y = batch["y"]
         m = node_mask & (y[..., 0] != -1)
-        labels = y[..., 0] * n_nouns + y[..., 1]
-        labels = jnp.where(m, labels, size)  # padded/unlabeled → overflow bin
-        flat_labels = labels.reshape(-1)
-        cnt = jnp.zeros(size + 1, jnp.int32).at[flat_labels].add(1)[:size]
-        return flat_labels, cnt
+        labels = jnp.where(m, y[..., 0] * n_nouns + y[..., 1], size)
+        flat = labels.reshape(-1)
+        cnt = jax.ops.segment_sum(jnp.ones_like(flat, jnp.int32), flat,
+                                  num_segments=size + 1)[:size]
+        sums = {}
+        for t in aux_tasks:
+            tf = system.head_apply(params, t, "forward_features", feat)
+            sums[t] = jax.ops.segment_sum(
+                tf.reshape(-1, tf.shape[-1]).astype(jnp.float32), flat,
+                num_segments=size + 1)[:size]
+        return sums, cnt
 
+    return step
+
+
+def build_prototypes(proto_step, params, dataloader, n_verbs: int,
+                     n_nouns: int, n_tasks: int,
+                     pad_multiple: int = 128) -> Dict[str, PrototypeBank]:
+    """Sweep the AR train set and average task features per seen (verb, noun)
+    combo (reference graphone.py:17-63). Accumulation is float64 on host
+    (mirroring the reference's overflow guard); the bincount is inflated by
+    ``n_tasks`` exactly like the reference (see module docstring)."""
+    import jax.numpy as _jnp  # noqa: F401 (kept local; host loop below)
+    size = n_verbs * n_nouns
+    sums: Dict[str, np.ndarray] = {}
+    counts = np.zeros(size, np.float64)
     for batch in dataloader:
-        feat = backbone_apply(batch)
-        y = jnp.asarray(batch["y"])
-        node_mask = jnp.broadcast_to(
-            jnp.asarray(batch["valid"])[:, None], y.shape[:2])
-        flat_labels, cnt = _accumulate(feat, y, node_mask)
-        counts += np.asarray(cnt, np.int64) * n_tasks  # reference inflation
-        for task, fn in task_features_fns.items():
-            tf = fn(feat).reshape(-1, features_size)
-            seg = jax.ops.segment_sum(tf, flat_labels, num_segments=size + 1)
-            sums[task] += np.asarray(seg[:size], np.float64)
-
-    # reference divides by the inflated bincount directly
-    return finalize_prototypes(sums, counts / 1.0, pad_multiple)
+        device_batch = {k: jnp.asarray(v) for k, v in batch.items()
+                        if k in ("x", "y", "valid")}
+        s, cnt = proto_step(params, device_batch)
+        counts += np.asarray(cnt, np.float64) * n_tasks
+        for t, v in s.items():
+            acc = sums.setdefault(t, np.zeros((size, v.shape[-1]), np.float64))
+            acc += np.asarray(v, np.float64)
+    return finalize_prototypes(sums, counts, pad_multiple)

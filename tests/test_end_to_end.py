@@ -1,0 +1,76 @@
+"""End-to-end: both training phases on the synthetic fixture, tiny config.
+
+This is the hermetic equivalent of running the reference's two mains — the
+test the reference never had (SURVEY.md §4)."""
+
+import os.path as osp
+
+import numpy as np
+import pytest
+
+import main_egopack
+import main_temporal
+from egopack_tpu.config import compose, default_config_dir
+
+
+def _mtl_overrides(root, tmp, extra=()):
+    return [
+        "seed=1", "k=1", "num_epochs=2", "batch_size=4", "num_workers=0",
+        "model.hidden_size=32", "model.temporal_pooling.hidden_size=32",
+        "oscc_feat_size=32",
+        "model.temporal_pooling.dropout=0.5", "model.depth=2",
+        "save_model=True",
+        f"dataset_recognition.root={root}", f"dataset_oscc.root={root}",
+        f"dataset_lta.root={root}", f"dataset_pnr.root={root}",
+        "validation_split=val",
+        f"artifact_dir={tmp}/artifacts", f"output_dir={tmp}/outputs",
+        "parallel.data=1", "parallel.model=1",
+        *extra,
+    ]
+
+
+@pytest.fixture(scope="module")
+def mtl_run(ego4d_root, tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("run"))
+    result = main_temporal.main(
+        _mtl_overrides(ego4d_root, tmp, ["enabled_tasks=[ar,lta,pnr]"]))
+    return result, tmp, ego4d_root
+
+
+def test_mtl_trains_and_saves_artifact(mtl_run):
+    result, tmp, _ = mtl_run
+    assert result["artifact"] == "MTL_ar-lta-pnr"
+    assert osp.exists(osp.join(tmp, "artifacts", "MTL_ar-lta-pnr",
+                               "checkpoint.msgpack"))
+    # params updated and finite
+    leaves = [np.asarray(x) for x in
+              __import__("jax").tree_util.tree_leaves(result["params"])]
+    assert all(np.isfinite(l).all() for l in leaves)
+
+
+def test_mtl_checkpoint_keys_match_reference_contract(mtl_run):
+    result, tmp, _ = mtl_run
+    from egopack_tpu.train.checkpoint import load_artifact
+    payload, meta = load_artifact(osp.join(tmp, "artifacts"), "MTL_ar-lta-pnr")
+    # same keys as the reference state dict (main_temporal.py:410-416)
+    for key in ("temporal_graph", "task/recognition", "task/oscc", "task/lta",
+                "task/pnr", "epoch"):
+        assert key in payload, key
+    assert sorted(meta["tasks"]) == ["ar", "lta", "pnr"]
+
+
+def test_egopack_phase_on_novel_oscc(mtl_run):
+    _, tmp, root = mtl_run
+    result = main_egopack.main(_mtl_overrides(root, tmp, [
+        "enabled_tasks=[oscc]", "enable_graphone=True",
+        "resume_from=MTL_ar-lta-pnr", "graphone.k=2", "graphone.depth=1",
+        "graphone.hidden_size=32", "graphone.residual=True",
+        "task_head_dropout=0.5", "num_epochs=1", "optimizer.lr=1e-6",
+        "backprop_temporal_graph=True", "temporal_graph_train_mode=True",
+        "validate_all_tasks=False", "save_model=False",
+    ]))
+    assert "banks" in result
+    assert set(result["banks"].keys()) == {"ar", "lta", "pnr"}
+    for b in result["banks"].values():
+        assert b.num_valid > 0
+        assert np.isfinite(np.asarray(b.values)).all()
