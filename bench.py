@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Benchmark: Ego4D clips/sec/chip, fwd+bwd, MTL phase.
+
+Measures the fused multi-task train step (AR+LTA+PNR, batch 16 per task —
+the experiments/mtl.yaml configuration the reference trains with) at full
+model size (Omnivore 1536-d features, hidden 1024). One step processes
+3 × 16 = 48 clips; throughput = clips / wall-time with device sync.
+
+The reference publishes no throughput anywhere (BASELINE.md); the
+``vs_baseline`` denominator below is the provisional estimate recorded in
+BASELINE.md (reference recipe on a single modern GPU, PyG pipeline,
+~40-50 it/s × 48 clips ≈ 2000 clips/s), to be replaced by a measured number
+when a reference-capable environment exists.
+
+Output: ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+import __graft_entry__ as ge
+from egopack_tpu.parallel import mesh as pmesh
+from egopack_tpu.train import optim as topt
+
+REFERENCE_BASELINE_CLIPS_PER_SEC = 2000.0  # provisional; see BASELINE.md
+
+BATCH = 16
+ACTIVE = ("ar", "lta", "pnr")
+WARMUP = 5
+STEPS = 50
+
+
+def main():
+    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16" \
+        else jnp.float32
+    feat_dim, hidden = 1536, 1024
+    system = ge._build_system(hidden, 1024, feat_dim)
+    system.compute_dtype = dtype
+    params = system.init_params(jax.random.PRNGKey(0), feat_dim)
+
+    mesh = pmesh.make_mesh(len(jax.devices()), 1)
+    params = pmesh.place_params(params, mesh)
+    optimizer = topt.adam(1e-5, 1e-5)
+    opt_state = optimizer.init(params)
+    step = system.make_train_step(optimizer, ACTIVE)
+
+    batches = ge._synthetic_batches(system, BATCH * mesh.shape["data"], feat_dim)
+    batches = {n: pmesh.shard_batch(b, mesh) for n, b in batches.items()
+               if n in ACTIVE}
+
+    rng = jax.random.PRNGKey(1)
+    for i in range(WARMUP):
+        params, opt_state, logs = step(params, opt_state, batches,
+                                       jax.random.fold_in(rng, i), 1e-5)
+    jax.block_until_ready(params)
+
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        params, opt_state, logs = step(params, opt_state, batches,
+                                       jax.random.fold_in(rng, 100 + i), 1e-5)
+    jax.block_until_ready(params)
+    elapsed = time.perf_counter() - t0
+
+    n_chips = mesh.shape["data"] * mesh.shape["model"]
+    clips = STEPS * len(ACTIVE) * BATCH * mesh.shape["data"]
+    clips_per_sec_per_chip = clips / elapsed / n_chips
+    print(json.dumps({
+        "metric": "ego4d_mtl_clips_per_sec_per_chip_fwd_bwd",
+        "value": round(clips_per_sec_per_chip, 1),
+        "unit": "clips/s/chip",
+        "vs_baseline": round(clips_per_sec_per_chip
+                             / REFERENCE_BASELINE_CLIPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,60 @@
+"""Multi-chip dry runs on the 8-virtual-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+import __graft_entry__ as ge
+from egopack_tpu.parallel import mesh as pmesh
+
+
+def test_mesh_shapes():
+    m = pmesh.make_mesh(4, 2)
+    assert dict(m.shape) == {"data": 4, "model": 2}
+    m1 = pmesh.make_mesh(1, 1)
+    assert dict(m1.shape) == {"data": 1, "model": 1}
+
+
+def test_dryrun_multichip_8():
+    ge.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_2():
+    ge.dryrun_multichip(2)
+
+
+def test_dp_matches_single_device():
+    """The fused train step must be numerically identical (within fp tolerance)
+    on a 4-way data mesh vs a single device — global batch semantics preserved
+    (SURVEY.md §2.5 requirement)."""
+    from egopack_tpu.train import optim as topt
+
+    feat_dim, hidden = 16, 16
+    system = ge._build_system(hidden, 16, feat_dim)
+    params0 = system.init_params(jax.random.PRNGKey(0), feat_dim)
+    optimizer = topt.adam(1e-3, 0.0)
+    active = ("ar", "oscc")
+    batches = ge._synthetic_batches(system, 8, feat_dim, seed=3)
+    batches = {k: v for k, v in batches.items() if k in active}
+
+    results = {}
+    for dp in (1, 4):
+        mesh = pmesh.make_mesh(dp, 1)
+        params = pmesh.place_params(
+            jax.tree_util.tree_map(lambda x: x.copy(), params0), mesh)
+        opt_state = optimizer.init(params)
+        step = system.make_train_step(optimizer, active)
+        sharded = {n: pmesh.shard_batch(dict(b), mesh)
+                   for n, b in batches.items()}
+        new_params, _, logs = step(params, opt_state, sharded,
+                                   jax.random.PRNGKey(7), 1e-3)
+        results[dp] = (jax.tree_util.tree_map(np.asarray, new_params),
+                       {k: float(v) for k, v in logs.items()})
+
+    for k in results[1][1]:
+        np.testing.assert_allclose(results[1][1][k], results[4][1][k],
+                                   rtol=1e-5, atol=1e-6)
+    flat1 = jax.tree_util.tree_leaves(results[1][0])
+    flat4 = jax.tree_util.tree_leaves(results[4][0])
+    for a, b in zip(flat1, flat4):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
