@@ -177,6 +177,34 @@ def sequence_edit_distance(preds: np.ndarray, labels: np.ndarray) -> np.ndarray:
     return out
 
 
+def multitask_topk_accuracy(preds: Tuple[np.ndarray, ...],
+                            targets: Tuple[np.ndarray, ...],
+                            top_k: int = 1) -> float:
+    """``MultitaskAccuracy`` (/root/reference/utils/metrics.py:9-36): a sample
+    is correct iff, at some shared rank position ≤ k, EVERY label head is
+    correct... precisely: per rank r, count heads correct at rank r; sample
+    correct when the per-rank correct counts summed over ranks reach nlabels.
+
+    Reference math: all_correct (k, bs) accumulates per-head top-k hit masks;
+    correct = (all_correct.sum(0) >= nlabels)."""
+    nlabels = len(preds)
+    bs = targets[0].shape[0]
+    all_correct = np.zeros((top_k, bs), np.int64)
+    for output, label in zip(preds, targets):
+        idx = np.argsort(-output, axis=1)[:, :top_k].T  # (k, bs)
+        all_correct += (idx == label[None, :])
+    correct = (all_correct.sum(0) >= nlabels).sum()
+    return float(correct / bs)
+
+
+def class_filter(preds, targets, keep: Tuple[np.ndarray, ...]):
+    """``ClassFilterWrapper._filter`` (/root/reference/utils/metrics.py:39-76):
+    keep only samples whose target is in ``keep`` for EVERY head."""
+    masks = [np.isin(t, k) for t, k in zip(targets, keep)]
+    m = np.logical_and.reduce(masks)
+    return tuple(p[m] for p in preds), tuple(t[m] for t in targets)
+
+
 def topk_recall(scores: np.ndarray, labels: np.ndarray, k: int = 5,
                 classes: Optional[np.ndarray] = None) -> float:
     """Mean per-class top-k recall over classes present in the labels

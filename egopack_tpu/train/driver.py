@@ -24,8 +24,9 @@ from ..models.graphone import (GraphONE, build_prototypes, make_prototype_step)
 from ..models.heads import LTATask, OSCCTask, PNRTask, RecognitionTask
 from ..parallel import mesh as pmesh
 from ..train import optim as topt
-from ..train.checkpoint import (load_artifact, merge_loaded_params,
-                                save_artifact)
+from ..train.checkpoint import (latest_state, load_artifact,
+                                merge_loaded_params, restore_state,
+                                save_artifact, save_state)
 from ..train.system import CKPT_KEYS, MultiTaskSystem, TaskSetup
 from ..utils.logging import RunLogger, format_run_name, setup_logging
 
@@ -184,7 +185,22 @@ def train_mtl(cfg) -> Dict[str, Any]:
     def sample_fn(logits, key):
         return lta_head.generate_from_logits(logits, key)
 
-    for epoch in range(1, cfg.num_epochs + 1):
+    # mid-run resume: restore the newest full-state checkpoint if present
+    start_epoch = 1
+    if cfg.checkpoint.enable:
+        last = latest_state(cfg.checkpoint.dir)
+        if last is not None:
+            state = restore_state(cfg.checkpoint.dir, last,
+                                  {"params": params, "opt_state": opt_state,
+                                   "rng": rng})
+            params, opt_state, rng = (state["params"], state["opt_state"],
+                                      state["rng"])
+            params = pmesh.place_params(params, mesh)
+            start_epoch = last + 1
+            logger.info("Resumed full state from epoch %d", last)
+
+    profiling = bool(cfg.profile_dir)
+    for epoch in range(start_epoch, cfg.num_epochs + 1):
         t0 = time.time()
         losses = {t: [] for t in active}
         ml = _epoch_multiloader(dsets, task_weights)
@@ -192,6 +208,8 @@ def train_mtl(cfg) -> Dict[str, Any]:
             dsets[t]["dl_train"].set_epoch(epoch)
         n_steps = 0
         for tup in ml:
+            if profiling and n_steps == 1:  # skip the compile step
+                jax.profiler.start_trace(cfg.profile_dir)
             batches = {t: pmesh.shard_batch(_device_batch(b), mesh)
                        for t, b in zip(TASKS, tup) if t in active}
             rng, step_rng = jax.random.split(rng)
@@ -200,6 +218,11 @@ def train_mtl(cfg) -> Dict[str, Any]:
             for t in active:
                 losses[t].append(logs[f"{t}_loss"])
             n_steps += 1
+            if profiling and n_steps == 6:
+                jax.block_until_ready(params)
+                jax.profiler.stop_trace()
+                profiling = False
+                logger.info("Wrote profiler trace to %s", cfg.profile_dir)
         epoch_losses = {t: float(np.mean([np.asarray(l) for l in losses[t]]))
                         for t in active}
         logger.info("Epoch %3d/%d (%d steps, %.1fs, lr %.2e) losses: %s",
@@ -208,6 +231,10 @@ def train_mtl(cfg) -> Dict[str, Any]:
                     {t: round(v, 4) for t, v in epoch_losses.items()})
         run_logger.log({f"train/{t}/loss": v for t, v in epoch_losses.items()},
                        step=epoch)
+
+        if cfg.checkpoint.enable and epoch % cfg.checkpoint.every == 0:
+            save_state(cfg.checkpoint.dir, epoch,
+                       {"params": params, "opt_state": opt_state, "rng": rng})
 
         # validate only in the last 5 epochs (main_temporal.py:342-343)
         if epoch < (cfg.num_epochs - 5):

@@ -1,0 +1,95 @@
+"""Training infrastructure: schedules, optimizer semantics, criterion wrapper,
+checkpoint/resume, determinism."""
+
+import numpy as np
+import pytest
+
+import main_temporal
+from egopack_tpu.ops.criterion import MetricSelectorWrapper
+from egopack_tpu.train import optim as topt
+from tests.test_end_to_end import _mtl_overrides
+
+
+def test_cosine_schedule_matches_torch_formula():
+    sched = topt.cosine_annealing(T_max=40)
+    lr_fn = topt.build_lr_fn(1e-4, sched, use_warmup=False)
+    assert lr_fn(0) == pytest.approx(1e-4)
+    assert lr_fn(20) == pytest.approx(5e-5)
+    assert lr_fn(40) == pytest.approx(0.0, abs=1e-12)
+
+
+def test_warmup_chained_multiplicatively():
+    sched = topt.cosine_annealing(T_max=40)
+    lr_fn = topt.build_lr_fn(1e-4, sched, use_warmup=True)
+    # epoch 0: factor 0.001
+    assert lr_fn(0) == pytest.approx(1e-4 * 0.001)
+    # epoch 5: warmup done
+    import math
+    assert lr_fn(5) == pytest.approx(1e-4 * (1 + math.cos(math.pi * 5 / 40)) / 2)
+
+
+def test_adam_coupled_weight_decay():
+    """torch Adam adds wd·p to the GRADIENT (not AdamW)."""
+    import jax.numpy as jnp
+    opt = topt.adam(lr=0.1, weight_decay=0.5)
+    params = {"w": jnp.asarray([2.0])}
+    state = opt.init(params)
+    zero_grad = {"w": jnp.asarray([0.0])}
+    updates, _ = opt.update(zero_grad, state, params)
+    # effective grad = 0 + 0.5*2 = 1 → adam step ≈ -lr (first step, m/v bias
+    # corrected → update = -lr * sign(grad))
+    assert float(updates["w"][0]) == pytest.approx(-0.1, rel=1e-3)
+
+
+class _FakeDS:
+    def __init__(self, joint):
+        self._j = joint
+
+    @property
+    def has_joint_label(self):
+        return self._j
+
+    num_labels = 3
+
+
+def test_metric_selector_wrapper_routing():
+    import jax.numpy as jnp
+    logits = (jnp.asarray([[2.0, 1.0]]), jnp.asarray([[0.5, 1.5]]),
+              jnp.asarray([[3.0, 0.0]]))
+    targets = jnp.asarray([[0, 1, 0]])
+    # no joint label: all heads summed
+    w = MetricSelectorWrapper(dataset=_FakeDS(False))
+    all_sum = float(w(logits, targets)[0])
+    # joint label, flag off: first two heads only
+    w2 = MetricSelectorWrapper(dataset=_FakeDS(True))
+    two = float(w2(logits, targets)[0])
+    # joint label training: joint head only
+    w3 = MetricSelectorWrapper(dataset=_FakeDS(True), joint_label_training=True)
+    one = float(w3(logits, targets)[0])
+    assert all_sum > two > one > 0
+    assert all_sum == pytest.approx(two + one, rel=1e-6)
+
+
+def test_mtl_deterministic_and_resumable(ego4d_root, tmp_path):
+    """Same seed → bitwise-identical params (capability the reference
+    explicitly could not have, main_egopack.py:175-176); full-state resume
+    continues to the same final params as an uninterrupted run."""
+    import jax
+
+    base = _mtl_overrides(ego4d_root, str(tmp_path),
+                          ["enabled_tasks=[oscc]", "num_epochs=2",
+                           "save_model=False"])
+    r1 = main_temporal.main(list(base))
+    r2 = main_temporal.main(list(base))
+    l1 = jax.tree_util.tree_leaves(r1["params"])
+    l2 = jax.tree_util.tree_leaves(r2["params"])
+    for a, b in zip(l1, l2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # resume: run 1 epoch with checkpointing, then resume to epoch 2
+    ck = [f"checkpoint.enable=True", f"checkpoint.dir={tmp_path}/ck"]
+    main_temporal.main(list(base) + ck + ["num_epochs=1"])
+    r_resumed = main_temporal.main(list(base) + ck + ["num_epochs=2"])
+    for a, b in zip(jax.tree_util.tree_leaves(r_resumed["params"]), l1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
