@@ -11,6 +11,7 @@ computation.
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax
@@ -32,16 +33,28 @@ def l2_distance(features: jax.Array, bank: jax.Array) -> jax.Array:
 
 
 def prototype_topk(features: jax.Array, bank: jax.Array, bank_mask: jax.Array,
-                   k: int, distance: str = "cosine") -> Tuple[jax.Array, jax.Array]:
+                   k: int, distance: str = "cosine",
+                   impl: str = "auto") -> Tuple[jax.Array, jax.Array]:
     """k nearest valid prototypes per feature row.
 
     Returns ``(indices (M, k), distances (M, k))``. ``bank_mask`` marks valid
     (non-padded) prototype rows; padded rows get +inf distance so they are
     never selected. The whole computation is non-differentiable (reference
     computes edges under no_grad).
+
+    ``impl``: 'xla' (lax.top_k over the fused distance matrix), 'pallas'
+    (streaming Mosaic kernel, ops/pallas/knn_topk.py — never materializes the
+    (M, P) matrix in HBM), or 'auto' (env ``EGOPACK_KNN_IMPL``, default xla —
+    measured at parity on v5e at EgoPack sizes; pallas wins when M·P outgrows
+    VMEM-friendly fusion).
     """
+    if impl == "auto":
+        impl = os.environ.get("EGOPACK_KNN_IMPL", "xla")
     features = jax.lax.stop_gradient(features)
     bank = jax.lax.stop_gradient(bank)
+    if impl == "pallas" and distance == "cosine":
+        from .pallas.knn_topk import cosine_knn_pallas
+        return cosine_knn_pallas(features, bank, bank_mask, k)
     if distance == "cosine":
         d = cosine_dissimilarity(features, bank)
     elif distance == "l2":
