@@ -20,6 +20,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from . import sampling
+from ..io import native
 from .base import BaseDataset, FeatureStore, load_json
 from .ego4d import FEATURE_SIZES, FEATURE_STRIDES
 from .graphs import GraphSpec, ar_spec, lta_spec
@@ -112,17 +113,18 @@ class Ego4dFHODataset(BaseDataset):
         else:
             a_start = start_frame // self.stride
         a_end = min(feats.shape[0] - 1, end_frame // self.stride)
-        window = feats[a_start:a_end]
-        try:
-            if self.split == "train" and rng is not None:
-                out = sampling.random_sampling(window, self.num_segments, rng)
-            else:
-                out = sampling.uniform_sampling(window, self.num_segments)
-            return np.asarray(out, dtype=np.float32)
-        except (IndexError, ValueError):
+        size = a_end - a_start
+        if size <= 0:
+            # reference zero-guard: sampling an empty window raises → zeros
+            # (data/ego4d_fho.py:238-239)
             logger.debug("Empty feature window for %s [%d, %d); zero-filling",
                          video_uid, a_start, a_end)
-            return np.zeros((self.num_segments, self.features_size), np.float32)
+            return np.zeros((self.num_segments, feats.shape[1]), np.float32)
+        if self.split == "train" and rng is not None:
+            idx = sampling.random_sampling_indices(size, self.num_segments, rng)
+        else:
+            idx = sampling.uniform_sampling_indices(size, self.num_segments)
+        return native.gather_rows(feats, idx + a_start)
 
 
 class Ego4dRecognitionDataset(Ego4dFHODataset):

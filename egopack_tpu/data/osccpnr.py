@@ -19,6 +19,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from ..io import native
 from .base import BaseDataset, FeatureStore, load_json
 from .ego4d import FEATURE_SIZES, FEATURE_STRIDES, FPS
 from .graphs import GraphSpec, oscc_spec, pnr_spec
@@ -135,11 +136,14 @@ class Ego4dOSCCDataset(BaseDataset):
                                    endpoint=False, dtype=int)
         selected = np.sort(selected)
 
-        window = feats[start_frame // self.stride:end_frame // self.stride]
-        try:
-            graph = np.take(window, selected, axis=0).astype(np.float32)
-        except IndexError:
+        # reference zero-guard: np.take raises iff any selected index falls
+        # outside the (possibly file-truncated) window (data/ego4d_oscc.py:208)
+        s_row = start_frame // self.stride
+        window_len = max(0, min(feats.shape[0], end_frame // self.stride) - s_row)
+        if len(selected) == 0 or selected.max() >= window_len:
             graph = np.zeros((len(selected), feats.shape[1]), np.float32)
+        else:
+            graph = native.gather_rows(feats, selected + s_row)
         graph = graph.reshape(4, self.num_segments, -1)
 
         # PNR-truncation augmentation: repeat the last pre-PNR node and flip
@@ -213,12 +217,8 @@ class Ego4dPNRDataset(Ego4dOSCCDataset):
                      feats.shape[0] - 1)
         hi = np.clip(np.ceil(candidates / self.stride).astype(int), 0,
                      feats.shape[0] - 1)
-        low_f = np.take(feats, lo, axis=0).astype(np.float32)
-        high_f = np.take(feats, hi, axis=0).astype(np.float32)
         frac = ((candidates % self.stride) / self.stride).astype(np.float32)
-        x = (1.0 - frac)[:, None] * low_f + frac[:, None] * high_f
-        exact = lo == hi
-        x[exact] = low_f[exact]
+        x = native.gather_interp(feats, lo, hi, frac)
 
         if "test" not in self.split:
             distances = np.abs(candidates - pnr_frame)
