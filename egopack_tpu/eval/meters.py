@@ -19,13 +19,37 @@ from . import metrics as M
 
 
 class BaseMeter:
-    """Loss + count tracking (/root/reference/utils/meters/base.py:10-52)."""
+    """Loss + count tracking; optional feature accumulation for t-SNE plots
+    (/root/reference/utils/meters/base.py:10-52)."""
 
     def __init__(self, save_features: bool = False):
         self.save_features = save_features
         self._loss_sum = 0.0
         self._loss_count = 0
         self._samples = 0
+        self._pre_features: List[np.ndarray] = []
+        self._post_features: List[np.ndarray] = []
+
+    def update_features(self, pre=None, post=None):
+        if not self.save_features:
+            return
+        if pre is not None:
+            self._pre_features.append(np.asarray(pre).reshape(
+                -1, np.asarray(pre).shape[-1]))
+        if post is not None:
+            self._post_features.append(np.asarray(post).reshape(
+                -1, np.asarray(post).shape[-1]))
+
+    def feature_embedding(self, which: str = "post", max_points: int = 2000):
+        """2-D t-SNE coordinates of the accumulated features (the reference's
+        wandb scatter plot, base.py:36-39); returns (n, 2) numpy."""
+        feats = self._post_features if which == "post" else self._pre_features
+        if not feats:
+            return None
+        from sklearn.manifold import TSNE
+        data = np.concatenate(feats)[:max_points]
+        perplexity = min(30.0, max(1.0, (len(data) - 1) / 3))
+        return TSNE(2, perplexity=perplexity).fit_transform(data)
 
     def update_loss(self, loss: float, n: int = 1):
         if np.isnan(loss):
@@ -45,12 +69,14 @@ class BaseMeter:
 
 
 class Ego4dRecognitionMeter(BaseMeter):
-    """Verb/noun top-{1,2,3,5}, macro, calibration, Brier, confusions
-    (/root/reference/utils/meters/ego4d.py:34-203)."""
+    """Verb/noun top-{1,2,3,5}, macro, calibration, Brier, confusions,
+    per-class accuracy tables (/root/reference/utils/meters/ego4d.py:34-203)."""
 
-    def __init__(self, dataset, **kw):
+    def __init__(self, dataset, log_confusion: bool = False, **kw):
         super().__init__(**kw)
         self.n_verbs, self.n_nouns = dataset.num_class_labels
+        self.class_labels = dataset.class_labels
+        self.log_confusion = log_confusion
         self._verb_logits, self._verb_labels = [], []
         self._noun_logits, self._noun_labels = [], []
 
@@ -79,6 +105,32 @@ class Ego4dRecognitionMeter(BaseMeter):
         out[f"{which}_brier_score"] = M.calibration_error(logits, labels,
                                                           n_bins=1, norm="l2")
         return out
+
+    def confusion_tables(self, which: str = "verbs", top_n: int = 25):
+        """Top-2 confusion table + per-class accuracy/support table (the
+        reference's wandb.Tables, ego4d.py:134-203), as plain dicts."""
+        if which == "verbs":
+            logits = np.concatenate(self._verb_logits)
+            labels = np.concatenate(self._verb_labels)
+            names, n = self.class_labels[0], self.n_verbs
+        else:
+            logits = np.concatenate(self._noun_logits)
+            labels = np.concatenate(self._noun_labels)
+            names, n = self.class_labels[1], self.n_nouns
+        cm2 = M.top2_confusion(logits, labels, n)
+        flat = cm2.flatten()
+        order = np.argsort(-flat)[:top_n]
+        top2_rows = [[names[i // n], names[i % n], int(flat[i])]
+                     for i in order if flat[i] > 0]
+        support = M.confusion_matrix(logits, labels, n).sum(1)
+        per_class = {
+            "class": list(names),
+            "top-1": M.per_class_topk_accuracy(logits, labels, 1, n)[0].tolist(),
+            "top-2": M.per_class_topk_accuracy(logits, labels, 2, n)[0].tolist(),
+            "top-5": M.per_class_topk_accuracy(logits, labels, 5, n)[0].tolist(),
+            "support": support.tolist(),
+        }
+        return {"top2_confusion": top2_rows, "class_acc": per_class}
 
     def print_logs(self) -> List[str]:
         v, n = self._compute("verbs"), self._compute("nouns")

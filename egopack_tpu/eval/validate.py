@@ -28,11 +28,16 @@ def validate(eval_step, params, banks, loader, meter: BaseMeter,
              task_name: str) -> BaseMeter:
     """Task-generic eval (AR, OSCC) — /root/reference/validate.py:14-60."""
     for batch in loader:
-        logits, per_elem, _, _ = eval_step(params, _device_batch(batch), banks)
+        logits, per_elem, feat, _ = eval_step(params, _device_batch(batch), banks)
         valid = np.asarray(batch["valid"])
         loss = float(masked_mean(per_elem, jnp.asarray(
             valid if per_elem.ndim == 1 else _node_mask(batch))))
         y = np.asarray(batch["y"])
+        if meter.save_features:
+            # reference: pre = raw segment-mean, post = backbone features
+            # (/root/reference/validate.py:52-56)
+            meter.update_features(np.asarray(batch["x"])[valid].mean(-2),
+                                  np.asarray(feat)[valid])
         if task_name == "ar":
             v = np.asarray(logits[0])[valid].reshape(-1, logits[0].shape[-1])
             n = np.asarray(logits[1])[valid].reshape(-1, logits[1].shape[-1])

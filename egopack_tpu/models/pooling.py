@@ -24,7 +24,7 @@ class TemporalPooling(nn.Module):
     input_size: int
     output_size: int
     num_segments: int
-    encoding: Optional[str] = None  # 'positional' | 'learnt' | None
+    encoding: Optional[str] = None  # 'positional' | 'temporal' | 'learnt' | None
 
     def apply_encoding(self, x: jax.Array) -> jax.Array:
         # x: (B, N, S, D) — frame-level encoding over the S axis
@@ -38,6 +38,14 @@ class TemporalPooling(nn.Module):
             pe = positional_encoding(jnp.arange(self.num_segments, dtype=jnp.float32),
                                      self.input_size)
             enc = TLinear(self.input_size, name="encoding_mlp")(pe)
+        elif self.encoding == "temporal":
+            # TGAT/GraphMixer functional time encoding cos(t·w),
+            # w_i = 1/10000^(i/d) (PyG gnn.TemporalEncoding; unused by the
+            # reference experiments, kept for capability parity)
+            t = jnp.arange(self.num_segments, dtype=jnp.float32)
+            w = 1.0 / (10000.0 ** (jnp.arange(self.input_size) / self.input_size))
+            te = jnp.cos(t[:, None] * w[None, :])
+            enc = TLinear(self.input_size, name="encoding_mlp")(te)
         else:
             raise ValueError(f"Unsupported encoding: {self.encoding}")
         return x + enc
