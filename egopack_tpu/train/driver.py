@@ -131,7 +131,9 @@ def _run_validation(cfg, system, params, banks, dsets, task_weights, epoch,
     for name in TASKS:
         if not (force_all or task_weights[name] > 0):
             continue
-        meter = build_meter_for_dataset(dsets[name]["val"])
+        meter = build_meter_for_dataset(
+            dsets[name]["val"],
+            save_features=bool(cfg.get("log_feature_plots", False)))
         step = eval_steps[name]
         if name == "lta":
             validate_lta(step, params, banks, dsets[name]["dl_val"], meter,
