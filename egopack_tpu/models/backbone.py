@@ -54,15 +54,22 @@ class TemporalGraph(nn.Module):
         self.norms = [GraphLayerNorm(name=f"gn{i}") for i in range(self.depth)]
         self.out_lin = TLinear(self.hidden_size, name="out_lin")
 
-    def __call__(self, x: jax.Array, adj: jax.Array, pos: jax.Array,
-                 node_mask: Optional[jax.Array] = None,
-                 train: bool = False) -> jax.Array:
-        x = self.pre_drop(x, deterministic=not train)
-        h = self.pooling(x, train=train)  # (B, N, H)
+    def pool(self, x: jax.Array, train: bool = False) -> jax.Array:
+        """Pre-dropout + temporal pooling: (B, N, S, D) → (B, N, H).
 
+        Exposed separately so the fused multi-task step can concatenate the
+        node sets of ALL task branches into one large MXU matmul (the pooling
+        MLP is per-node, so fusing across tasks is numerics-preserving)."""
+        x = self.pre_drop(x, deterministic=not train)
+        return self.pooling(x, train=train)
+
+    def reason(self, h: jax.Array, adj: jax.Array, pos: jax.Array,
+               node_mask: Optional[jax.Array] = None,
+               train: bool = False) -> jax.Array:
+        """Graph reasoning over pooled node features: PE + depth×SAGE +
+        global residual (/root/reference/models/graph.py:60-63)."""
         if self.depth <= 0:
             return h
-
         pe = positional_encoding(pos, self.hidden_size)
         z = h + pe if pe.ndim == h.ndim else h + pe[None]
         for conv, norm in zip(self.convs, self.norms):
@@ -70,5 +77,10 @@ class TemporalGraph(nn.Module):
             z = norm(z, node_mask)
             z = nn.leaky_relu(z, negative_slope=0.2)
         z = self.out_lin(z)
-        # global residual (/root/reference/models/graph.py:63)
         return h + z
+
+    def __call__(self, x: jax.Array, adj: jax.Array, pos: jax.Array,
+                 node_mask: Optional[jax.Array] = None,
+                 train: bool = False) -> jax.Array:
+        h = self.pool(x, train)
+        return self.reason(h, adj, pos, node_mask, train)

@@ -138,6 +138,48 @@ class MultiTaskSystem:
         return head.apply({"params": params[CKPT_KEYS[name]]}, *args,
                           train=train, rngs=rngs, method=method, **kw)
 
+    def _task_adj(self, name: str, y: jax.Array) -> jax.Array:
+        setup = self.tasks[name]
+        base_adj = jnp.asarray(setup.spec.adjacency)
+        if setup.spec.lta_extra:
+            return lta_full_adjacency(base_adj, y, setup.spec.radius)
+        return base_adj
+
+    def fused_backbone_features(self, params, batches, names, train: bool,
+                                rng: Optional[jax.Array]):
+        """Pool the node sets of ALL task branches in ONE matmul, then run
+        per-task graph reasoning. Numerics-preserving (pooling is per-node);
+        this turns 3-4 small (B·N, S·D) matmuls into one large one on the MXU.
+        Requires every task to share (S, D) — true for all reference configs
+        (num_segments=3 everywhere; PNR repeats frames 3×)."""
+        xs, metas = [], []
+        for name in names:
+            x = batches[name]["x"].astype(self.compute_dtype)
+            b, n = x.shape[0], x.shape[1]
+            xs.append(x.reshape(1, b * n, x.shape[2], x.shape[3]))
+            metas.append((name, b, n))
+        rngs = {"dropout": rng} if (train and rng is not None) else None
+        x_all = jnp.concatenate(xs, axis=1)
+        h_all = self.backbone.apply({"params": params["temporal_graph"]},
+                                    x_all, train=train, rngs=rngs,
+                                    method="pool")[0]
+        out, off = {}, 0
+        for name, b, n in metas:
+            h = h_all[off:off + b * n].reshape(b, n, -1)
+            off += b * n
+            node_mask = jnp.broadcast_to(batches[name]["valid"][:, None], (b, n))
+            feat = self.backbone.apply(
+                {"params": params["temporal_graph"]}, h,
+                self._task_adj(name, batches[name]["y"]),
+                jnp.asarray(self.tasks[name].spec.pos), node_mask,
+                train=train, rngs=rngs, method="reason")
+            out[name] = (feat.astype(jnp.float32), node_mask)
+        return out
+
+    def _can_fuse(self, batches, names) -> bool:
+        shapes = {tuple(batches[n]["x"].shape[2:]) for n in names}
+        return len(shapes) == 1 and len(names) > 1
+
     # ---------------- phase 1: fused MTL step ----------------
     def make_train_step(self, optimizer, active: Tuple[str, ...]):
         """One jitted step over the active task subset. ``active`` is static —
@@ -147,11 +189,19 @@ class MultiTaskSystem:
         def loss_fn(params, batches, rng):
             total = 0.0
             logs = {}
+            fused = self._can_fuse(batches, active)
+            if fused:
+                feats = self.fused_backbone_features(
+                    params, batches, active, train=True,
+                    rng=jax.random.fold_in(rng, 1000))
             for i, name in enumerate(active):
                 k1, k2 = jax.random.split(jax.random.fold_in(rng, i))
                 batch = batches[name]
-                feat, node_mask = self.backbone_features(
-                    params, batch, name, train=True, rng=k1)
+                if fused:
+                    feat, node_mask = feats[name]
+                else:
+                    feat, node_mask = self.backbone_features(
+                        params, batch, name, train=True, rng=k1)
                 tfeat = self.head_apply(params, name, "forward_features", feat,
                                         train=True, rng=k2)
                 if name == "oscc":

@@ -32,9 +32,18 @@ def flatten_cfg(d: Dict[str, Any], parent_key: str = "", sep: str = ".") -> Dict
 
 
 def format_run_name(pattern: Optional[str], cfg: Dict[str, Any]) -> Optional[str]:
+    """Substitute ``{dotted.key}`` tokens from the flattened config.
+
+    str.format cannot address dotted keys (``{graphone.depth}`` parses as
+    attribute access — a latent crash in the reference's
+    ``format_wandb_run_name`` for exactly the patterns its own sweeps pass);
+    plain token replacement handles every pattern the sweeps use."""
     if pattern is None:
         return None
-    return pattern.format(**flatten_cfg(cfg))
+    out = pattern
+    for k, v in flatten_cfg(cfg).items():
+        out = out.replace("{" + k + "}", str(v))
+    return out
 
 
 class RunLogger:
