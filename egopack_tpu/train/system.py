@@ -353,11 +353,7 @@ class MultiTaskSystem:
 
 def _phase2_task_loss(head, name: str, logits, y) -> jax.Array:
     """Phase-2 criteria = each head's ``compute_loss``
-    (/root/reference/main_egopack.py:61): OSCC gains label smoothing 0.1."""
-    if name in ("ar", "lta"):
-        return head.compute_loss(logits, y)
-    if name == "oscc":
-        return head.compute_loss(logits, y)
-    if name == "pnr":
-        return head.compute_loss(logits, y)
-    raise ValueError(name)
+    (/root/reference/main_egopack.py:61; notably OSCC gains label smoothing
+    0.1 that phase 1 does not have)."""
+    del name
+    return head.compute_loss(logits, y)
