@@ -272,6 +272,12 @@ class Ego4dAnticipationDataset(Ego4dFHODataset):
         n = self.anticipation_secs - self.blackout_secs
         return n + (1 if self.append_node is not None else 0)
 
+    def graph_spec(self, k: float = 1.0) -> GraphSpec:
+        from .graphs import GraphSpec as _GS, radius_adjacency
+        pos = np.arange(self.num_nodes, dtype=np.float32)
+        return _GS("ant", self.num_nodes, pos,
+                   radius_adjacency(pos, k + 0.5), radius=k + 0.5)
+
     def __len__(self) -> int:
         return len(self.annotations)
 

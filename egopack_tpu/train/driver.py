@@ -335,7 +335,20 @@ def train_egopack(cfg) -> Dict[str, Any]:
     def sample_fn(logits, key):
         return lta_head.generate_from_logits(logits, key)
 
-    for epoch in range(1, cfg.num_epochs + 1):
+    start_epoch = 1
+    if cfg.checkpoint.enable:
+        last = latest_state(cfg.checkpoint.dir)
+        if last is not None:
+            state = restore_state(cfg.checkpoint.dir, last,
+                                  {"params": params, "opt_state": opt_state,
+                                   "rng": rng})
+            params, opt_state, rng = (state["params"], state["opt_state"],
+                                      state["rng"])
+            params = pmesh.place_params(params, mesh)
+            start_epoch = last + 1
+            logger.info("Resumed full state from epoch %d", last)
+
+    for epoch in range(start_epoch, cfg.num_epochs + 1):
         t0 = time.time()
         losses = {t: [] for t in active}
         ml = _epoch_multiloader(dsets, task_weights)

@@ -109,3 +109,24 @@ def test_recognition_meter_tables(ego4d_root):
     assert len(tables["class_acc"]["class"]) == 12
     emb = meter.feature_embedding("post")
     assert emb.shape == (20, 2)
+
+
+def test_anticipation_meter(ego4d_root):
+    from egopack_tpu.data import Ego4dAnticipationDataset
+    from egopack_tpu.eval.meters import Ego4dAnticipationMeter
+
+    ds = Ego4dAnticipationDataset("val", num_segments=3, root=ego4d_root)
+    assert ds.graph_spec().num_nodes == ds.num_nodes == 6
+    s = ds.get(0)
+    assert s["x"].shape == (6, 3, 32)
+    assert (s["y"][:-1] == -1).all() and (s["y"][-1] >= 0).all()
+
+    meter = Ego4dAnticipationMeter(ds)
+    rng = np.random.default_rng(0)
+    logits = (rng.normal(size=(12, 12)), rng.normal(size=(12, 9)))
+    labels = np.stack([rng.integers(0, 12, 12), rng.integers(0, 9, 12)], 1)
+    labels[0] = -1
+    meter.update(logits, labels, 0.5)
+    logs = meter.get_logs()
+    assert 0 <= logs["verbs_recall_top5"] <= 1
+    assert 0 <= logs["nouns_accuracy_top1"] <= 1
