@@ -79,6 +79,29 @@ class TemporalGraph(nn.Module):
         z = self.out_lin(z)
         return h + z
 
+    def reason_multi(self, hs, adjs, poss, node_masks, train: bool = False):
+        """Graph reasoning for several task branches at once: the per-node
+        matmuls of every SAGE layer and the output Linear are fused across
+        branches (``DenseSAGEConv.multi``); adjacency aggregation and the
+        graph-mode LayerNorm stay per branch, so the result is numerically
+        identical to calling ``reason`` per task."""
+        if self.depth <= 0:
+            return list(hs)
+        zs = [h + positional_encoding(p, self.hidden_size)[None]
+              for h, p in zip(hs, poss)]
+        for conv, norm in zip(self.convs, self.norms):
+            zs = conv.multi(zs, adjs)
+            zs = [nn.leaky_relu(norm(z, m), negative_slope=0.2)
+                  for z, m in zip(zs, node_masks)]
+        sizes = [(z.shape[0], z.shape[1]) for z in zs]
+        flat = jnp.concatenate([z.reshape(1, -1, z.shape[-1]) for z in zs], 1)
+        out_flat = self.out_lin(flat)
+        outs, off = [], 0
+        for (b, n), h in zip(sizes, hs):
+            outs.append(h + out_flat[0, off:off + b * n].reshape(b, n, -1))
+            off += b * n
+        return outs
+
     def __call__(self, x: jax.Array, adj: jax.Array, pos: jax.Array,
                  node_mask: Optional[jax.Array] = None,
                  train: bool = False) -> jax.Array:

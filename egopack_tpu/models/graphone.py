@@ -30,6 +30,7 @@ Parity notes (load-bearing, verified against the reference source):
 from __future__ import annotations
 
 import logging
+import math
 from typing import Any, Dict, List, Optional, Tuple
 
 import flax.linen as nn
@@ -38,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.knn import prototype_topk
-from .layers import LayerNorm, TLinear
+
 
 logger = logging.getLogger(__name__)
 
@@ -94,11 +95,15 @@ def finalize_prototypes(sums: Dict[str, jax.Array], counts: jax.Array,
 
 
 class GraphONE(nn.Module):
-    """Cross-task prototype interaction.
+    """Cross-task prototype interaction, task-vectorized.
 
     Banks are passed as *inputs* (frozen by default, matching
-    ``nn.Embedding.from_pretrained(freeze=True)`` at graphONE.py:46-49); conv
-    stage weights are the trainable params.
+    ``nn.Embedding.from_pretrained(freeze=True)`` at graphONE.py:46-49).
+    Stage weights carry a leading task axis ``(depth, T, ...)`` so one
+    ``interact`` call runs EVERY task's k-NN + SAGE stack as batched einsums —
+    the reference loops tasks and depths through separate CUDA kernels
+    (graphONE.py:80-115); here XLA sees T·depth stages as ``depth`` batched
+    matmuls riding the MXU.
     """
 
     task_labels: Tuple[str, ...]
@@ -118,56 +123,79 @@ class GraphONE(nn.Module):
     output_projection: bool = True
 
     def setup(self):
-        def stage(task, i):
-            prefix = "shared" if self.share_params else task
-            return {
-                "conv_l": TLinear(self.hidden_size, use_bias=False,
-                                  name=f"{prefix}_conv{i}_l"),
-                "conv_r": TLinear(self.hidden_size, use_bias=False,
-                                  name=f"{prefix}_conv{i}_r"),
-                "norm": LayerNorm(name=f"{prefix}_norm{i}"),
-                "proj": TLinear(self.features_size, name=f"{prefix}_proj{i}"),
-            }
+        t = 1 if self.share_params else len(self.task_labels)
+        d, f, h = self.depth, self.features_size, self.hidden_size
 
+        def uniform(bound):
+            def init(key, shape, dtype=jnp.float32):
+                return jax.random.uniform(key, shape, dtype, -bound, bound)
+            return init
+
+        # torch Linear default init: U(±1/sqrt(fan_in)) per stage
+        self.w_l = self.param("w_l", uniform(1 / math.sqrt(f)), (d, t, f, h))
+        self.w_r = self.param("w_r", uniform(1 / math.sqrt(f)), (d, t, f, h))
+        self.ln_scale = self.param("ln_scale", nn.initializers.ones, (d, t, h))
+        self.ln_bias = self.param("ln_bias", nn.initializers.zeros, (d, t, h))
+        self.w_proj = self.param("w_proj", uniform(1 / math.sqrt(h)),
+                                 (d, t, h, f))
+        self.b_proj = self.param("b_proj", uniform(1 / math.sqrt(h)), (d, t, f))
+
+    def _task_rows(self, tasks: Tuple[str, ...]) -> Tuple[int, ...]:
         if self.share_params:
-            shared = [stage("shared", i) for i in range(self.depth)]
-            self.stages = {t: shared for t in self.task_labels}
-        else:
-            self.stages = {t: [stage(t, i) for i in range(self.depth)]
-                           for t in self.task_labels}
+            return tuple(0 for _ in tasks)
+        return tuple(self.task_labels.index(t) for t in tasks)
 
     def interact(self, features: Dict[str, jax.Array],
                  banks: Dict[str, PrototypeBank],
                  train: bool = False):
-        """Per-task k-NN message passing; returns (updated features dict,
-        closest-prototype dict). Features are (M, F) flat node batches."""
-        out, closest = {}, {}
-        for task in features:
-            out[task], closest[task] = self._task_interaction(
-                task, features[task], banks[task])
-        return out, closest
+        """Batched k-NN message passing over every task in ``features``.
 
-    def _task_interaction(self, task: str, feats: jax.Array,
-                          bank: PrototypeBank):
-        bank_vals = bank.values
+        Features are (M, F) flat node batches (same M across tasks — they all
+        come from the same backbone output). Returns (updated features dict,
+        closest-prototype dict).
+
+        Parity (graphONE.py:87-141): prototypes are never updated across
+        depths; edges come from the ORIGINAL features (identical at every
+        depth, so computed once); aggregation is max over {k prototypes,
+        current self}; the SAGE convs have no bias; the final Linear always
+        projects hidden→features (``output_projection`` is swallowed by the
+        reference's ``**kwargs`` and has no effect there either)."""
+        tasks = tuple(features.keys())
+        rows = jnp.asarray(self._task_rows(tasks))
+        f_stack = jnp.stack([features[t] for t in tasks])        # (T, M, F)
+        bank_vals = jnp.stack([banks[t].values for t in tasks])  # (T, P, F)
+        bank_mask = jnp.stack([banks[t].mask for t in tasks])    # (T, P)
         if self.freeze:
             bank_vals = jax.lax.stop_gradient(bank_vals)
-        # edges: computed once from the ORIGINAL features (parity: the
-        # reference recomputes identical edges every depth)
-        idx, _ = prototype_topk(feats, bank_vals, bank.mask, self.k,
-                                self.distance_func)  # (M, k)
-        neighbors = jnp.take(bank_vals, idx, axis=0)  # (M, k, F)
 
-        cur = feats
-        for stage in self.stages[task]:
-            # SAGE aggr='max' over {k prototypes, self-loop(current)}
-            agg = jnp.maximum(neighbors.max(axis=1), cur)
-            h = stage["conv_l"](agg) + stage["conv_r"](cur)
-            h = stage["norm"](h)
+        idx, _ = jax.vmap(prototype_topk, in_axes=(0, 0, 0, None, None))(
+            f_stack, bank_vals, bank_mask, self.k, self.distance_func)
+        neighbors = jax.vmap(lambda b, i: jnp.take(b, i, axis=0))(
+            bank_vals, idx)                                      # (T, M, k, F)
+        nb_max = neighbors.max(axis=2)                           # (T, M, F)
+
+        cur = f_stack
+        for d in range(self.depth):
+            w_l = self.w_l[d][rows]        # (T, F, H)
+            w_r = self.w_r[d][rows]
+            agg = jnp.maximum(nb_max, cur)
+            h = (jnp.einsum("tmf,tfh->tmh", agg, w_l,
+                            preferred_element_type=jnp.float32)
+                 + jnp.einsum("tmf,tfh->tmh", cur, w_r,
+                              preferred_element_type=jnp.float32))
+            mean = h.mean(-1, keepdims=True)
+            var = ((h - mean) ** 2).mean(-1, keepdims=True)
+            h = (h - mean) * jax.lax.rsqrt(var + 1e-5)
+            h = h * self.ln_scale[d][rows][:, None] \
+                + self.ln_bias[d][rows][:, None]
             h = nn.relu(h)
-            h = stage["proj"](h)
-            cur = h + cur if self.residual else h
-        return cur, idx[:, 0]
+            out = jnp.einsum("tmh,thf->tmf", h, self.w_proj[d][rows],
+                             preferred_element_type=jnp.float32) \
+                + self.b_proj[d][rows][:, None]
+            cur = out + cur if self.residual else out
+
+        return ({t: cur[i] for i, t in enumerate(tasks)},
+                {t: idx[i, :, 0] for i, t in enumerate(tasks)})
 
 
 def make_prototype_step(system, aux_tasks: Tuple[str, ...],

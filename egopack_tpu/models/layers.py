@@ -122,30 +122,57 @@ class DenseSAGEConv(nn.Module):
     project: bool = False
     use_bias: bool = True
 
-    @nn.compact
-    def __call__(self, x: jax.Array, adj: jax.Array) -> jax.Array:
-        # x: (B, N, H); adj: (B, N, N) or (N, N) bool in-neighbor mask
-        if adj.ndim == 2:
-            adj = jnp.broadcast_to(adj[None], (x.shape[0],) + adj.shape)
-        msg = x
+    def setup(self):
         if self.project:
-            msg = nn.relu(TLinear(x.shape[-1], name="lin_project")(x))
-        a = adj.astype(x.dtype)
+            self.lin_project = TLinear(self.features, name="lin_project")
+        self.lin_l = TLinear(self.features, use_bias=self.use_bias,
+                             name="lin_l")
+        self.lin_r = TLinear(self.features, use_bias=False, name="lin_r")
+
+    def _aggregate(self, msg: jax.Array, adj: jax.Array) -> jax.Array:
+        if adj.ndim == 2:
+            adj = jnp.broadcast_to(adj[None], (msg.shape[0],) + adj.shape)
+        a = adj.astype(msg.dtype)
         if self.aggr == "mean":
             deg = jnp.maximum(a.sum(-1, keepdims=True), 1.0)
             agg = jnp.einsum("bts,bsh->bth", a, msg,
-                             preferred_element_type=jnp.float32).astype(x.dtype) / deg
-            agg = jnp.where(adj.any(-1, keepdims=True), agg, 0.0)
+                             preferred_element_type=jnp.float32
+                             ).astype(msg.dtype) / deg
         elif self.aggr == "max":
-            neg = jnp.finfo(x.dtype).min
+            neg = jnp.finfo(msg.dtype).min
             masked = jnp.where(adj[..., None], msg[:, None, :, :], neg)
             agg = masked.max(axis=2)
-            agg = jnp.where(adj.any(-1, keepdims=True), agg, 0.0)
         else:
             raise ValueError(f"Unknown aggregation: {self.aggr}")
-        out = TLinear(self.features, use_bias=self.use_bias, name="lin_l")(agg)
-        out = out + TLinear(self.features, use_bias=False, name="lin_r")(x)
-        return out
+        return jnp.where(adj.any(-1, keepdims=True), agg, 0.0)
+
+    def __call__(self, x: jax.Array, adj: jax.Array) -> jax.Array:
+        # x: (B, N, H); adj: (B, N, N) or (N, N) bool in-neighbor mask
+        msg = nn.relu(self.lin_project(x)) if self.project else x
+        agg = self._aggregate(msg, adj)
+        return self.lin_l(agg) + self.lin_r(x)
+
+    def multi(self, xs, adjs):
+        """Cross-graph fused variant: the per-node matmuls (project / lin_l /
+        lin_r) run ONCE over the concatenation of every graph's node set (one
+        large MXU matmul instead of T small ones); only the tiny per-graph
+        adjacency aggregation stays separate. Numerics-identical to calling
+        ``__call__`` per graph."""
+        sizes = [(x.shape[0], x.shape[1]) for x in xs]
+        flat = jnp.concatenate([x.reshape(1, -1, x.shape[-1]) for x in xs], 1)
+        msg_flat = nn.relu(self.lin_project(flat)) if self.project else flat
+        aggs, off = [], 0
+        for (b, n), adj in zip(sizes, adjs):
+            msg = msg_flat[0, off:off + b * n].reshape(b, n, -1)
+            off += b * n
+            aggs.append(self._aggregate(msg, adj).reshape(1, b * n, -1))
+        agg_flat = jnp.concatenate(aggs, 1)
+        out_flat = self.lin_l(agg_flat) + self.lin_r(flat)
+        outs, off = [], 0
+        for b, n in sizes:
+            outs.append(out_flat[0, off:off + b * n].reshape(b, n, -1))
+            off += b * n
+        return outs
 
 
 def positional_encoding(pos: jax.Array, out_channels: int,

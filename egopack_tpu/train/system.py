@@ -163,18 +163,20 @@ class MultiTaskSystem:
         h_all = self.backbone.apply({"params": params["temporal_graph"]},
                                     x_all, train=train, rngs=rngs,
                                     method="pool")[0]
-        out, off = {}, 0
+        hs, adjs, poss, masks = [], [], [], []
+        off = 0
         for name, b, n in metas:
-            h = h_all[off:off + b * n].reshape(b, n, -1)
+            hs.append(h_all[off:off + b * n].reshape(b, n, -1))
             off += b * n
-            node_mask = jnp.broadcast_to(batches[name]["valid"][:, None], (b, n))
-            feat = self.backbone.apply(
-                {"params": params["temporal_graph"]}, h,
-                self._task_adj(name, batches[name]["y"]),
-                jnp.asarray(self.tasks[name].spec.pos), node_mask,
-                train=train, rngs=rngs, method="reason")
-            out[name] = (feat.astype(jnp.float32), node_mask)
-        return out
+            adjs.append(self._task_adj(name, batches[name]["y"]))
+            poss.append(jnp.asarray(self.tasks[name].spec.pos))
+            masks.append(jnp.broadcast_to(batches[name]["valid"][:, None],
+                                          (b, n)))
+        feats = self.backbone.apply(
+            {"params": params["temporal_graph"]}, hs, adjs, poss, masks,
+            train=train, rngs=rngs, method="reason_multi")
+        return {name: (feat.astype(jnp.float32), mask)
+                for (name, _, _), feat, mask in zip(metas, feats, masks)}
 
     def _can_fuse(self, batches, names) -> bool:
         shapes = {tuple(batches[n]["x"].shape[2:]) for n in names}

@@ -58,3 +58,23 @@ def test_dp_matches_single_device():
     flat4 = jax.tree_util.tree_leaves(results[4][0])
     for a, b in zip(flat1, flat4):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_fused_multitask_forward_matches_per_task():
+    """fused pooling + cross-task fused GNN == per-task backbone forward."""
+    import jax.numpy as jnp
+    from egopack_tpu.train import optim as topt
+
+    feat_dim, hidden = 16, 16
+    system = ge._build_system(hidden, 16, feat_dim)
+    params = system.init_params(jax.random.PRNGKey(0), feat_dim)
+    batches = ge._synthetic_batches(system, 4, feat_dim, seed=5)
+    active = ("ar", "oscc", "lta", "pnr")
+
+    fused = system.fused_backbone_features(params, batches, active,
+                                           train=False, rng=None)
+    for name in active:
+        ref, _ = system.backbone_features(params, batches[name], name,
+                                          train=False, rng=None)
+        np.testing.assert_allclose(np.asarray(fused[name][0]), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
