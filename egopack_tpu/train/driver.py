@@ -184,6 +184,7 @@ def train_mtl(cfg) -> Dict[str, Any]:
     eval_steps = {t: system.make_eval_step(t) for t in TASKS}
     lta_head = system.tasks["lta"].head
 
+    @jax.jit
     def sample_fn(logits, key):
         return lta_head.generate_from_logits(logits, key)
 
@@ -332,6 +333,7 @@ def train_egopack(cfg) -> Dict[str, Any]:
             late_fusion=cfg.late_fusion)
     lta_head = system.tasks["lta"].head
 
+    @jax.jit
     def sample_fn(logits, key):
         return lta_head.generate_from_logits(logits, key)
 
