@@ -28,7 +28,7 @@ def generate_ego4d_fixture(root: str,
                            n_verbs: int = 12,
                            n_nouns: int = 9,
                            n_oscc: int = 24,
-                           splits: tuple = ("train", "val"),
+                           splits: tuple = ("train", "val", "test_unannotated"),
                            seed: int = 0) -> str:
     """Write a miniature Ego4D tree under ``root``; returns ``root``.
 
@@ -61,23 +61,28 @@ def generate_ego4d_fixture(root: str,
 
     for split in splits:
         fho_clips = []
+        unannotated = "test" in split
         for v, uid in enumerate(video_uids):
             clip_uid = f"clip_{split}_{v:04d}"
             for a in range(actions_per_clip):
                 start = a * frames_per_action
                 end = start + frames_per_action - 5
-                fho_clips.append({
+                entry = {
                     "action_idx": a,
                     "video_uid": uid,
                     "clip_uid": clip_uid,
                     "clip_parent_start_frame": 0,
                     "action_clip_start_frame": start,
                     "action_clip_end_frame": end,
-                    "verb_label": int(rng.integers(0, n_verbs)),
-                    "noun_label": int(rng.integers(0, n_nouns)),
-                })
+                }
+                if not unannotated:  # test splits carry no labels
+                    entry["verb_label"] = int(rng.integers(0, n_verbs))
+                    entry["noun_label"] = int(rng.integers(0, n_nouns))
+                fho_clips.append(entry)
         with open(osp.join(ann_dir, f"fho_lta_{split}.json"), "w") as f:
             json.dump({"clips": fho_clips}, f)
+        if unannotated:
+            continue  # no OSCC/PNR annotations for test splits
 
         oscc_clips = []
         for i in range(n_oscc):

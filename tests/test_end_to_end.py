@@ -74,3 +74,22 @@ def test_egopack_phase_on_novel_oscc(mtl_run):
     for b in result["banks"].values():
         assert b.num_valid > 0
         assert np.isfinite(np.asarray(b.values)).all()
+
+
+def test_predict_lta_submission(mtl_run):
+    """LTA test-split prediction export (Ego4D challenge format)."""
+    import json
+    from egopack_tpu.predict import main as predict_main
+
+    result, tmp, root = mtl_run
+    out = osp.join(tmp, "lta_predictions.json")
+    predict_main(_mtl_overrides(root, tmp, [
+        "resume_from=MTL_ar-lta-pnr",
+        "validation_split=test_unannotated",
+        f"output={out}",
+    ]))
+    preds = json.load(open(out))
+    assert len(preds) > 0
+    first = next(iter(preds.values()))
+    assert len(first["verb"]) == 5 and len(first["verb"][0]) == 20
+    assert len(first["noun"]) == 5 and len(first["noun"][0]) == 20
