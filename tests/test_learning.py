@@ -1,0 +1,47 @@
+"""End-to-end LEARNING test: on a fixture with planted class signal, the full
+MTL pipeline must beat chance by a wide margin within a few epochs — the
+strongest hermetic evidence the rebuilt system optimizes correctly."""
+
+import numpy as np
+import pytest
+
+import main_temporal
+from egopack_tpu.data.synthetic import generate_ego4d_fixture
+from tests.test_end_to_end import _mtl_overrides
+
+
+@pytest.fixture(scope="module")
+def learnable_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ego4d_learnable")
+    return generate_ego4d_fixture(str(root), feature_dim=32, n_videos=2,
+                                  actions_per_clip=30, n_oscc=40,
+                                  n_verbs=6, n_nouns=5, learnable=True)
+
+
+def test_mtl_learns_planted_signal(learnable_root, tmp_path):
+    res = main_temporal.main(_mtl_overrides(learnable_root, str(tmp_path), [
+        "enabled_tasks=[ar,oscc]", "num_epochs=20", "optimizer.lr=1e-3",
+        "model.temporal_pooling.dropout=0.0", "save_model=False",
+    ]))
+    system, params, dsets = res["system"], res["params"], res["dsets"]
+
+    from egopack_tpu.data.loader import build_dataloader
+    from egopack_tpu.eval.meters import build_meter_for_dataset
+    from egopack_tpu.eval.validate import validate
+
+    # AR: 6 verbs / 5 nouns → chance ≈ 17% / 20%
+    ds = dsets["ar"]["val"]
+    meter = build_meter_for_dataset(ds)
+    validate(system.make_eval_step("ar"), params, {},
+             build_dataloader(ds, 12, False, 0, False), meter, "ar")
+    logs = meter.get_logs()
+    assert logs["verbs_top1"] > 0.5, logs
+    assert logs["nouns_top1"] > 0.5, logs
+
+    # OSCC: binary, planted rise/fall signal → well above 50%
+    ds = dsets["oscc"]["val"]
+    meter = build_meter_for_dataset(ds)
+    validate(system.make_eval_step("oscc"), params, {},
+             build_dataloader(ds, 8, False, 0, False), meter, "oscc")
+    acc = meter.get_logs()["accuracy"]
+    assert acc > 0.7, acc
