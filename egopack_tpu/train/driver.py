@@ -378,7 +378,7 @@ def train_egopack(cfg) -> Dict[str, Any]:
                         force_all=cfg.validate_all_tasks)
 
     result = {"params": params, "banks": banks, "system": system,
-              "dsets": dsets}
+              "dsets": dsets, "graphone": graphone}
     if cfg.save_model:
         payload = {k: params[k] for k in params}
         name = artifact_name(cfg, task_weights)

@@ -45,3 +45,42 @@ def test_mtl_learns_planted_signal(learnable_root, tmp_path):
              build_dataloader(ds, 8, False, 0, False), meter, "oscc")
     acc = meter.get_logs()["accuracy"]
     assert acc > 0.7, acc
+
+
+def test_two_phase_egopack_learns_novel_task(learnable_root, tmp_path):
+    """Full paper recipe on the learnable fixture: MTL(ar,lta,pnr) pretrain →
+    EgoPack novel-task OSCC with cross-task prototype interaction. The novel
+    task must end well above chance."""
+    import main_egopack
+
+    base = _mtl_overrides(learnable_root, str(tmp_path), [])
+    main_temporal.main(base + [
+        "enabled_tasks=[ar,lta,pnr]", "num_epochs=12", "optimizer.lr=1e-3",
+        "model.temporal_pooling.dropout=0.0", "save_model=True",
+    ])
+    res = main_egopack.main(base + [
+        "enabled_tasks=[oscc]", "enable_graphone=True",
+        "resume_from=MTL_ar-lta-pnr", "graphone.k=2", "graphone.depth=1",
+        "graphone.hidden_size=32", "graphone.residual=True",
+        "num_epochs=8", "optimizer.lr=1e-3", "task_head_dropout=0.0",
+        "model.temporal_pooling.dropout=0.0",
+        "backprop_temporal_graph=True", "temporal_graph_train_mode=False",
+        "save_model=False",
+    ])
+    system, params, banks, dsets = (res["system"], res["params"],
+                                    res["banks"], res["dsets"])
+
+    from egopack_tpu.data.loader import build_dataloader
+    from egopack_tpu.eval.meters import build_meter_for_dataset
+    from egopack_tpu.eval.validate import validate
+
+    ds = dsets["oscc"]["val"]
+    from egopack_tpu.train.driver import PHASE2_AUX
+    aux = tuple(t for t in ("ar", "lta", "pnr"))
+    step = system.make_eval_step("oscc", aux=aux, graphone=res["graphone"],
+                                 late_fusion=True)
+    meter = build_meter_for_dataset(ds)
+    validate(step, params, banks, build_dataloader(ds, 8, False, 0, False),
+             meter, "oscc")
+    acc = meter.get_logs()["accuracy"]
+    assert acc > 0.65, acc
