@@ -167,3 +167,10 @@ class MultiLoader:
 
 
 multiloader = MultiLoader  # reference-compatible alias
+
+
+def device_batch(batch):
+    """Ship only the array fields the jitted steps consume (x, y, valid)."""
+    import jax.numpy as jnp
+    keep = {"x", "y", "valid"}
+    return {k: jnp.asarray(v) for k, v in batch.items() if k in keep}

@@ -81,7 +81,4 @@ def validate_pnr(eval_step, params, banks, loader, meter: BaseMeter) -> BaseMete
     return meter
 
 
-def _device_batch(batch) -> Dict[str, jnp.ndarray]:
-    """Ship only the arrays the jitted step consumes."""
-    keep = {"x", "y", "valid"}
-    return {k: jnp.asarray(v) for k, v in batch.items() if k in keep}
+from ..data.loader import device_batch as _device_batch  # noqa: E402

@@ -44,3 +44,15 @@ def test_instantiate_target():
 
 def test_config_dir_exists():
     assert osp.isdir(default_config_dir())
+
+
+def test_sweep_runner_expands_grid(tmp_path):
+    import yaml
+    from egopack_tpu.sweep import build_commands
+
+    spec = yaml.safe_load(open("experiments/egopack/oscc.yaml"))
+    cmds = build_commands(spec, extra=["num_epochs=1"])
+    assert len(cmds) == 15  # 5 depths × 3 seeds
+    assert all("main_egopack.py" in c[1] for c in cmds)
+    assert any("graphone.depth=5" in " ".join(c) for c in cmds)
+    assert all("num_epochs=1" == c[-1] for c in cmds)
