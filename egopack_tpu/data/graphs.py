@@ -16,7 +16,7 @@ no torch_cluster / dynamic scatter kernels exist anywhere on the device path.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -8,7 +8,7 @@ loop); padded batch entries must be filtered by the caller via the valid mask.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

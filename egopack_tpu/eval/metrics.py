@@ -8,7 +8,7 @@ device→host metric boundary, minus the wandb coupling.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 

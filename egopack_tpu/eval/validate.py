@@ -8,7 +8,7 @@ epoch reuses one compiled program; meters consume numpy on host.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+
 
 import jax
 import jax.numpy as jnp

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import logging
 import math
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Dict, Tuple
 
 import flax.linen as nn
 import jax
@@ -235,7 +235,6 @@ def build_prototypes(proto_step, params, dataloader, n_verbs: int,
     combo (reference graphone.py:17-63). Accumulation is float64 on host
     (mirroring the reference's overflow guard); the bincount is inflated by
     ``n_tasks`` exactly like the reference (see module docstring)."""
-    import jax.numpy as _jnp  # noqa: F401 (kept local; host loop below)
     size = n_verbs * n_nouns
     sums: Dict[str, np.ndarray] = {}
     counts = np.zeros(size, np.float64)

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import logging
 import time
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +27,7 @@ from ..train import optim as topt
 from ..train.checkpoint import (latest_state, load_artifact,
                                 merge_loaded_params, restore_state,
                                 save_artifact, save_state)
-from ..train.system import CKPT_KEYS, MultiTaskSystem, TaskSetup
+from ..train.system import MultiTaskSystem, TaskSetup
 from ..utils.logging import RunLogger, format_run_name, setup_logging
 
 logger = logging.getLogger(__name__)

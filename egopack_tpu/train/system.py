@@ -19,8 +19,8 @@ Phase-2 (EgoPack) steps reproduce the reference gradient topology
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
-from typing import Any, Callable, Dict, Optional, Tuple
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,8 +28,7 @@ import numpy as np
 
 from ..data.graphs import GraphSpec
 from ..models.backbone import TemporalGraph
-from ..models.graphone import GraphONE, PrototypeBank
-from ..models.heads import LTATask, OSCCTask, PNRTask, RecognitionTask
+from ..models.graphone import GraphONE
 from ..ops.losses import bce_with_logits, cross_entropy, masked_mean
 
 TASK_ORDER = ("ar", "lta", "oscc", "pnr")
