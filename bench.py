@@ -45,7 +45,7 @@ def main():
     mesh = pmesh.make_mesh(len(jax.devices()), 1)
     params = pmesh.place_params(params, mesh)
     optimizer = topt.adam(1e-5, 1e-5)
-    opt_state = optimizer.init(params)
+    opt_state = topt.init_opt_state(optimizer, params, mesh)
     step = system.make_train_step(optimizer, ACTIVE)
 
     batches = ge._synthetic_batches(system, BATCH * mesh.shape["data"], feat_dim)

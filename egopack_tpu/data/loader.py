@@ -174,3 +174,17 @@ def device_batch(batch):
     import jax.numpy as jnp
     keep = {"x", "y", "valid"}
     return {k: jnp.asarray(v) for k, v in batch.items() if k in keep}
+
+
+def device_prefetch(iterator, put, depth: int = 2):
+    """Stay ``depth`` device transfers ahead of the consumer so H2D copies
+    overlap with the running step (double buffering; the device queue is
+    async, the host thread only pays enqueue cost)."""
+    import collections
+    buf = collections.deque()
+    for item in iterator:
+        buf.append(put(item))
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()

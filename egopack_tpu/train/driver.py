@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import instantiate, to_container
-from ..data.loader import MultiLoader, build_dataloader
+from ..data.loader import MultiLoader, build_dataloader, device_prefetch
 from ..eval.meters import build_meter_for_dataset
 from ..eval.validate import validate, validate_lta, validate_pnr, _device_batch
 from ..models.graphone import (GraphONE, build_prototypes, make_prototype_step)
@@ -177,7 +177,7 @@ def train_mtl(cfg) -> Dict[str, Any]:
     optimizer = instantiate(cfg.optimizer)
     lr_fn = topt.build_lr_fn(cfg.optimizer.lr, instantiate(cfg.lr_scheduler),
                              cfg.use_warmup)
-    opt_state = optimizer.init(params)
+    opt_state = topt.init_opt_state(optimizer, params, mesh)
 
     active = tuple(t for t in TASKS if task_weights[t] > 0)
     step_fn = system.make_train_step(optimizer, active)
@@ -210,11 +210,11 @@ def train_mtl(cfg) -> Dict[str, Any]:
         for t in TASKS:
             dsets[t]["dl_train"].set_epoch(epoch)
         n_steps = 0
-        for tup in ml:
+        put = lambda tup: {t: pmesh.shard_batch(_device_batch(b), mesh)
+                           for t, b in zip(TASKS, tup) if t in active}
+        for batches in device_prefetch(iter(ml), put):
             if profiling and n_steps == 1:  # skip the compile step
                 jax.profiler.start_trace(cfg.profile_dir)
-            batches = {t: pmesh.shard_batch(_device_batch(b), mesh)
-                       for t, b in zip(TASKS, tup) if t in active}
             rng, step_rng = jax.random.split(rng)
             params, opt_state, logs = step_fn(params, opt_state, batches,
                                               step_rng, lr_fn(epoch - 1))
@@ -315,7 +315,7 @@ def train_egopack(cfg) -> Dict[str, Any]:
     optimizer = instantiate(cfg.optimizer)
     lr_fn = topt.build_lr_fn(cfg.optimizer.lr, instantiate(cfg.lr_scheduler),
                              cfg.use_warmup)
-    opt_state = optimizer.init(params)
+    opt_state = topt.init_opt_state(optimizer, params, mesh)
 
     active = tuple(t for t in TASKS if task_weights[t] > 0)
     step_fn = system.make_egopack_train_step(
@@ -356,9 +356,9 @@ def train_egopack(cfg) -> Dict[str, Any]:
         ml = _epoch_multiloader(dsets, task_weights)
         for t in TASKS:
             dsets[t]["dl_train"].set_epoch(epoch)
-        for tup in ml:
-            batches = {t: pmesh.shard_batch(_device_batch(b), mesh)
-                       for t, b in zip(TASKS, tup) if t in active}
+        put = lambda tup: {t: pmesh.shard_batch(_device_batch(b), mesh)
+                           for t, b in zip(TASKS, tup) if t in active}
+        for batches in device_prefetch(iter(ml), put):
             rng, step_rng = jax.random.split(rng)
             params, opt_state, logs = step_fn(params, opt_state, banks,
                                               batches, step_rng,

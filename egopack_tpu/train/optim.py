@@ -34,6 +34,20 @@ def adam(lr: float = 1e-5, weight_decay: float = 0.0,
     return optax.inject_hyperparams(make)(learning_rate=lr)
 
 
+def init_opt_state(optimizer: optax.GradientTransformation, params, mesh=None):
+    """``jit(optimizer.init)`` under the mesh context: makes every state leaf
+    (including scalar step counts and the injected learning rate) carry the
+    SAME mesh-tagged sharding the jitted train step will return — otherwise
+    the second step call retraces+recompiles the whole fused program
+    (measured ~30s wasted per run at full size)."""
+    import contextlib
+    import jax
+    ctx = jax.set_mesh(mesh) if mesh is not None \
+        else contextlib.nullcontext()
+    with ctx:
+        return jax.jit(optimizer.init)(params)
+
+
 def set_learning_rate(opt_state, lr: float):
     """Update the injected learning rate in-place-of (returns new state)."""
     opt_state.hyperparams["learning_rate"] = lr
