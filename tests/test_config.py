@@ -56,3 +56,37 @@ def test_sweep_runner_expands_grid(tmp_path):
     assert all("main_egopack.py" in c[1] for c in cmds)
     assert any("graphone.depth=5" in " ".join(c) for c in cmds)
     assert all("num_epochs=1" == c[-1] for c in cmds)
+
+
+def test_config_surface_covers_reference():
+    """Every config key the reference exposes must exist in our tree with the
+    same default (BASELINE.json mandates 'same Hydra configs'); our documented
+    additions are allowed extras."""
+    import yaml
+
+    ref_path = "/root/reference/configs/defaults.yaml"
+    if not osp.exists(ref_path):
+        import pytest
+        pytest.skip("reference not mounted")
+    with open(ref_path) as f:
+        ref = yaml.safe_load(f)
+    ref.pop("defaults", None)
+    cfg = compose(default_config_dir())
+
+    def norm(v):
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return v
+
+    skip_values = {"device", "validation_split", "artifact_prefix"}
+    for key, ref_val in ref.items():
+        assert key in cfg, f"missing reference config key: {key}"
+        if isinstance(ref_val, dict):
+            for sub, sub_val in ref_val.items():
+                assert sub in cfg[key], f"missing {key}.{sub}"
+                if sub == "_target_":
+                    continue  # _target_s intentionally point at our classes
+                assert norm(cfg[key][sub]) == norm(sub_val), (key, sub)
+        elif key not in skip_values and key != "name":
+            assert norm(cfg[key]) == norm(ref_val), (key, cfg[key], ref_val)
