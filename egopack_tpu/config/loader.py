@@ -162,7 +162,13 @@ def _compose(config_dir: str, name: str, group_overrides: Dict[str, str]) -> Con
                 # hydra logging overrides — no-op in this implementation
                 continue
             abs_group = osp.join(base, group) if base else group
-            choice = group_overrides.pop(abs_group, group_overrides.pop(group, choice))
+            # check the absolute path first WITHOUT eagerly consuming the
+            # bare-name form (the eager fallback would silently swallow an
+            # override meant for a different group sharing the last segment)
+            if abs_group in group_overrides:
+                choice = group_overrides.pop(abs_group)
+            elif group in group_overrides:
+                choice = group_overrides.pop(group)
             if choice is None:
                 continue
             sub = _compose(config_dir, osp.join(abs_group, str(choice)),

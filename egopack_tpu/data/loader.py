@@ -66,6 +66,7 @@ class DataLoader:
         self.seed = seed
         self.prefetch = prefetch
         self._epoch = 0
+        self._pass = 0  # re-iteration counter within an epoch (wraparound)
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -75,9 +76,10 @@ class DataLoader:
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
+        self._pass = 0
 
-    def _index_batches(self) -> List[np.ndarray]:
-        rng = np.random.default_rng((self.seed, self._epoch))
+    def _index_batches(self, pass_idx: int) -> List[np.ndarray]:
+        rng = np.random.default_rng((self.seed, self._epoch, pass_idx))
         order = np.arange(len(self.dataset))
         if self.shuffle:
             rng.shuffle(order)
@@ -85,38 +87,62 @@ class DataLoader:
         return [order[i * self.batch_size:(i + 1) * self.batch_size]
                 for i in range(nb)]
 
-    def _produce(self) -> Iterator[Dict[str, Any]]:
-        sample_rng = np.random.default_rng((self.seed, self._epoch, 1))
-        for idxs in self._index_batches():
+    def _produce(self, pass_idx: int) -> Iterator[Dict[str, Any]]:
+        sample_rng = np.random.default_rng((self.seed, self._epoch,
+                                            pass_idx, 1))
+        for idxs in self._index_batches(pass_idx):
             samples = [self.dataset.get(int(i), sample_rng) for i in idxs]
             yield collate(samples, pad_to=self.batch_size)
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
+        # each re-iteration (multiloader wraparound) reshuffles and redraws
+        # augmentations, like re-iterating a torch DataLoader; still fully
+        # deterministic via the (seed, epoch, pass) tuple
+        pass_idx = self._pass
+        self._pass += 1
         if self.prefetch <= 0:
-            yield from self._produce()
+            yield from self._produce(pass_idx)
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         err: List[BaseException] = []
+        stop = threading.Event()
 
         def worker():
             try:
-                for b in self._produce():
-                    q.put(b)
+                for b in self._produce(pass_idx):
+                    while not stop.is_set():
+                        try:
+                            q.put(b, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:  # propagate to consumer
                 err.append(e)
             finally:
-                q.put(sentinel)
+                while not stop.is_set():
+                    try:
+                        q.put(sentinel, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if err:
-                    raise err[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if err:
+                        raise err[0]
+                    return
+                yield item
+        finally:
+            # abandoned iterators (multiloader wraparound) must not leak a
+            # blocked worker thread holding batches
+            stop.set()
 
 
 def build_dataloader(dataset: BaseDataset, batch_size: int, shuffle: bool,

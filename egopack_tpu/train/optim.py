@@ -19,17 +19,26 @@ import optax
 
 def adam(lr: float = 1e-5, weight_decay: float = 0.0,
          b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
-         mask=None) -> optax.GradientTransformation:
-    """torch.optim.Adam equivalent (coupled L2 weight decay)."""
+         trainable_mask=None) -> optax.GradientTransformation:
+    """torch.optim.Adam equivalent (coupled L2 weight decay).
+
+    ``trainable_mask``: pytree (or prefix) of bools. torch skips params whose
+    ``.grad is None`` — params outside every loss graph (inactive task heads in
+    phase-1 leave-one-out, detached aux projections and the frozen backbone in
+    phase 2) are never decayed nor moment-tracked. JAX grads are zeros instead
+    of None, so coupled weight decay WOULD silently decay frozen params every
+    step; the mask restores the exact torch semantics."""
 
     def make(learning_rate):
         steps = []
         if weight_decay:
-            wd = optax.add_decayed_weights(weight_decay, mask=mask)
-            steps.append(wd)
+            steps.append(optax.add_decayed_weights(weight_decay))
         steps.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
         steps.append(optax.scale_by_learning_rate(learning_rate))
-        return optax.chain(*steps)
+        opt = optax.chain(*steps)
+        if trainable_mask is not None:
+            opt = optax.masked(opt, trainable_mask)
+        return opt
 
     return optax.inject_hyperparams(make)(learning_rate=lr)
 

@@ -242,6 +242,10 @@ class MultiTaskSystem:
                                                      train=False, rng=None)
             tfeat = self.head_apply(params, name, "forward_features", feat)
             aux_feats = None
+            # post-features logged by meters: the task-projected features —
+            # stacked with the interacted aux features in the graphone case
+            # (/root/reference/validate.py:43,52-56)
+            post_feat = tfeat
             if graphone is not None and aux:
                 flat = feat.reshape(-1, feat.shape[-1])
                 secondary = {t: self.head_apply(params, t, "forward_features",
@@ -250,6 +254,9 @@ class MultiTaskSystem:
                                           secondary, banks, method="interact")
                 aux_feats = {t: v.reshape(feat.shape[0], feat.shape[1], -1)
                              for t, v in inter.items()}
+                post_feat = jnp.stack(
+                    [tfeat.reshape(-1, tfeat.shape[-1]), *inter.values()],
+                    axis=1).reshape(feat.shape[0], feat.shape[1], -1)
             if late_fusion or aux_feats is None:
                 if name == "oscc":
                     logits = self.head_apply(params, name, "forward_logits",
@@ -275,7 +282,7 @@ class MultiTaskSystem:
                                              mixed)
             per_elem = _phase2_task_loss(self.tasks[name].head, name, logits,
                                          batch["y"])
-            return logits, per_elem, feat, node_mask
+            return logits, per_elem, post_feat, node_mask
 
         return jax.jit(step)
 

@@ -138,10 +138,46 @@ def test_multiloader_wraparound(ego4d_root):
 
 
 def test_dataloader_determinism(ego4d_root):
+    """Two runs with the same seed/epoch stream identical batches (each
+    re-iteration WITHIN a run reshuffles — see test_wraparound_reshuffles)."""
     ds = Ego4dOSCCDataset("train", num_segments=3, root=ego4d_root, aug_prob=0)
-    dl = build_dataloader(ds, 4, True, 0, True, seed=7)
-    dl.set_epoch(3)
-    b1 = [b["y"].copy() for b in dl]
-    b2 = [b["y"].copy() for b in dl]
-    for a, b in zip(b1, b2):
+    streams = []
+    for _ in range(2):
+        dl = build_dataloader(ds, 4, True, 0, True, seed=7)
+        dl.set_epoch(3)
+        streams.append([b["y"].copy() for b in dl])
+    for a, b in zip(*streams):
         np.testing.assert_array_equal(a, b)
+
+
+def test_wraparound_reshuffles(ego4d_root):
+    """Re-iterating a loader within an epoch (multiloader wraparound) must
+    reshuffle and redraw augmentations, like re-iterating a torch DataLoader."""
+    ds = Ego4dOSCCDataset("train", num_segments=3, root=ego4d_root, aug_prob=0)
+    dl = build_dataloader(ds, 4, True, 0, True, seed=3)
+    dl.set_epoch(1)
+    first = [b["y"].copy() for b in dl]   # pass 0
+    second = [b["y"].copy() for b in dl]  # pass 1 (wraparound)
+    assert any(not np.array_equal(a, b) for a, b in zip(first, second))
+    # but a fresh loader at the same epoch reproduces pass 0 exactly
+    dl2 = build_dataloader(ds, 4, True, 0, True, seed=3)
+    dl2.set_epoch(1)
+    again = [b["y"].copy() for b in dl2]
+    for a, b in zip(first, again):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_abandoned_prefetch_thread_stops(ego4d_root):
+    """Dropping an iterator mid-pass must not leak a blocked worker thread."""
+    import threading
+    import time
+
+    ds = Ego4dOSCCDataset("train", num_segments=3, root=ego4d_root, aug_prob=0)
+    dl = build_dataloader(ds, 2, True, 2, True, seed=1)
+    before = threading.active_count()
+    for _ in range(10):
+        it = iter(dl)
+        next(it)
+        it.close()  # abandon mid-pass
+    time.sleep(0.5)
+    assert threading.active_count() <= before + 1

@@ -93,3 +93,31 @@ def test_mtl_deterministic_and_resumable(ego4d_root, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(r_resumed["params"]), l1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_frozen_params_not_decayed(ego4d_root, tmp_path):
+    """torch grad=None semantics: with weight decay on, params outside the
+    loss graph (inactive task heads in leave-one-out) must be bit-identical
+    before/after training (torch.optim.Adam skips grad=None params)."""
+    import jax
+    import numpy as np
+
+    res = main_temporal.main(_mtl_overrides(ego4d_root, str(tmp_path), [
+        "enabled_tasks=[oscc]", "num_epochs=2", "optimizer.weight_decay=0.1",
+        "save_model=False",
+    ]))
+    system, params = res["system"], res["params"]
+    # re-init with the same key derivation as train_mtl (seed=1) to get the
+    # pristine initial values
+    _, init_rng = jax.random.split(jax.random.PRNGKey(1))
+    init = system.init_params(init_rng, 32)
+    for key in ("task/recognition", "task/lta", "task/pnr"):
+        got = jax.tree_util.tree_leaves(params[key])
+        want = jax.tree_util.tree_leaves(init[key])
+        for a, b in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the trained OSCC head DID move
+    moved = jax.tree_util.tree_leaves(params["task/oscc"])
+    orig = jax.tree_util.tree_leaves(init["task/oscc"])
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(moved, orig))
