@@ -31,7 +31,7 @@ REFERENCE_BASELINE_CLIPS_PER_SEC = 2000.0  # provisional; see BASELINE.md
 BATCH = 16
 ACTIVE = ("ar", "lta", "pnr")
 WARMUP = 5
-STEPS = 50
+STEPS = 30
 
 
 def main():
@@ -58,12 +58,18 @@ def main():
                                        jax.random.fold_in(rng, i), 1e-5)
     jax.block_until_ready(params)
 
-    t0 = time.perf_counter()
-    for i in range(STEPS):
-        params, opt_state, logs = step(params, opt_state, batches,
-                                       jax.random.fold_in(rng, 100 + i), 1e-5)
-    jax.block_until_ready(params)
-    elapsed = time.perf_counter() - t0
+    # several timed windows; report the median window — the dev chip sits
+    # behind a shared network tunnel whose latency varies run to run
+    windows = []
+    for w in range(7):
+        t0 = time.perf_counter()
+        for i in range(STEPS):
+            params, opt_state, logs = step(params, opt_state, batches,
+                                           jax.random.fold_in(rng, w * 1000 + i),
+                                           1e-5)
+        jax.block_until_ready(params)
+        windows.append(time.perf_counter() - t0)
+    elapsed = sorted(windows)[len(windows) // 2]
 
     n_chips = mesh.shape["data"] * mesh.shape["model"]
     clips = STEPS * len(ACTIVE) * BATCH * mesh.shape["data"]
