@@ -196,6 +196,9 @@ def train_mtl(cfg) -> Dict[str, Any]:
     opt_state = topt.init_opt_state(optimizer, params, mesh)
 
     step_fn = system.make_train_step(optimizer, active)
+    spc = int(cfg.get("steps_per_call", 1))
+    multi_fn = (system.make_train_step_multi(optimizer, active, spc)
+                if spc > 1 else None)
     eval_steps = {t: system.make_eval_step(t) for t in TASKS}
     lta_head = system.tasks["lta"].head
 
@@ -234,22 +237,43 @@ def train_mtl(cfg) -> Dict[str, Any]:
         n_steps = 0
         put = lambda tup: {t: pmesh.shard_batch(_device_batch(b), mesh)
                            for t, b in zip(TASKS, tup) if t in active}
+        pending = []
         for batches in device_prefetch(iter(ml), put):
             if profiling and n_steps == 1:  # skip the compile step
                 jax.profiler.start_trace(cfg.profile_dir)
+            rng, step_rng = jax.random.split(rng)
+            if multi_fn is not None:
+                pending.append(batches)
+                if len(pending) < spc:
+                    continue
+                params, opt_state, logs = multi_fn(params, opt_state,
+                                                   tuple(pending), step_rng,
+                                                   lr_fn(epoch - 1))
+                pending = []
+                n_steps += spc
+            else:
+                params, opt_state, logs = step_fn(params, opt_state, batches,
+                                                  step_rng, lr_fn(epoch - 1))
+                n_steps += 1
+            for t in active:
+                losses[t].append(logs[f"{t}_loss"])
+            if profiling and n_steps >= 6:
+                jax.block_until_ready(params)
+                jax.profiler.stop_trace()
+                profiling = False
+                logger.info("Wrote profiler trace to %s", cfg.profile_dir)
+        # flush the tail (fewer than steps_per_call batches) one by one
+        for batches in pending:
             rng, step_rng = jax.random.split(rng)
             params, opt_state, logs = step_fn(params, opt_state, batches,
                                               step_rng, lr_fn(epoch - 1))
             for t in active:
                 losses[t].append(logs[f"{t}_loss"])
             n_steps += 1
-            if profiling and n_steps == 6:
-                jax.block_until_ready(params)
-                jax.profiler.stop_trace()
-                profiling = False
-                logger.info("Wrote profiler trace to %s", cfg.profile_dir)
-        epoch_losses = {t: float(np.mean([np.asarray(l) for l in losses[t]]))
-                        for t in active}
+        epoch_losses = {
+            t: float(np.mean(np.concatenate(
+                [np.atleast_1d(np.asarray(l)) for l in losses[t]])))
+            for t in active}
         logger.info("Epoch %3d/%d (%d steps, %.1fs, lr %.2e) losses: %s",
                     epoch, cfg.num_epochs, n_steps, time.time() - t0,
                     lr_fn(epoch - 1),

@@ -182,11 +182,7 @@ class MultiTaskSystem:
         return len(shapes) == 1 and len(names) > 1
 
     # ---------------- phase 1: fused MTL step ----------------
-    def make_train_step(self, optimizer, active: Tuple[str, ...]):
-        """One jitted step over the active task subset. ``active`` is static —
-        the step is compiled once per enabled-task pattern (mirrors the
-        reference's weight>0 gating)."""
-
+    def _make_phase1_loss_fn(self, active: Tuple[str, ...]):
         def loss_fn(params, batches, rng):
             total = 0.0
             logs = {}
@@ -218,9 +214,15 @@ class MultiTaskSystem:
                 total = total + self.tasks[name].weight * loss
             return total, logs
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def step(params, opt_state, batches, rng, lr):
-            opt_state.hyperparams["learning_rate"] = lr
+        return loss_fn
+
+    def make_train_step(self, optimizer, active: Tuple[str, ...]):
+        """One jitted step over the active task subset. ``active`` is static —
+        the step is compiled once per enabled-task pattern (mirrors the
+        reference's weight>0 gating)."""
+        loss_fn = self._make_phase1_loss_fn(active)
+
+        def inner_step(params, opt_state, batches, rng):
             (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, batches, rng)
             updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -228,7 +230,39 @@ class MultiTaskSystem:
                 lambda p, u: p + u, params, updates)
             return params, opt_state, logs
 
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(params, opt_state, batches, rng, lr):
+            opt_state.hyperparams["learning_rate"] = lr
+            return inner_step(params, opt_state, batches, rng)
+
+        step.inner = inner_step
         return step
+
+    def make_train_step_multi(self, optimizer, active: Tuple[str, ...],
+                              steps_per_call: int):
+        """``steps_per_call`` sequential optimizer steps over as many distinct
+        batch groups inside ONE jitted program, UNROLLED (``lax.scan`` over
+        steps measured ~50× slower on this stack). Mathematically identical to
+        K dispatched calls of ``make_train_step``; amortizes dispatch latency
+        — at the reference's batch 16 this lifts measured throughput ~2.3×
+        (BASELINE.md). ``batch_list`` is a tuple of K per-task batch dicts;
+        logs come back stacked with a leading K axis."""
+        inner = self.make_train_step(optimizer, active).inner
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def multi_step(params, opt_state, batch_list, rng, lr):
+            opt_state.hyperparams["learning_rate"] = lr
+            all_logs = []
+            for k in range(steps_per_call):
+                params, opt_state, logs = inner(
+                    params, opt_state, batch_list[k],
+                    jax.random.fold_in(rng, k))
+                all_logs.append(logs)
+            logs = {key: jnp.stack([l[key] for l in all_logs])
+                    for key in all_logs[0]}
+            return params, opt_state, logs
+
+        return multi_step
 
     # ---------------- eval forward (phase 1 & 2) ----------------
     def make_eval_step(self, name: str, aux: Tuple[str, ...] = (),
