@@ -375,6 +375,12 @@ def train_egopack(cfg) -> Dict[str, Any]:
         backprop_temporal_graph=cfg.backprop_temporal_graph,
         temporal_graph_train_mode=cfg.temporal_graph_train_mode,
         late_fusion=cfg.late_fusion)
+    spc = int(cfg.get("steps_per_call", 1))
+    multi_fn = (system.make_egopack_train_step_multi(
+        optimizer, active, graphone, spc,
+        backprop_temporal_graph=cfg.backprop_temporal_graph,
+        temporal_graph_train_mode=cfg.temporal_graph_train_mode,
+        late_fusion=cfg.late_fusion) if spc > 1 else None)
 
     eval_steps: Dict[str, Any] = {}
     for t in TASKS:
@@ -417,15 +423,34 @@ def train_egopack(cfg) -> Dict[str, Any]:
             dsets[t]["dl_train"].set_epoch(epoch)
         put = lambda tup: {t: pmesh.shard_batch(_device_batch(b), mesh)
                            for t, b in zip(TASKS, tup) if t in active}
+        pending = []
         for batches in device_prefetch(iter(ml), put):
+            rng, step_rng = jax.random.split(rng)
+            if multi_fn is not None:
+                pending.append(batches)
+                if len(pending) < spc:
+                    continue
+                params, opt_state, logs = multi_fn(params, opt_state, banks,
+                                                   tuple(pending), step_rng,
+                                                   lr_fn(epoch - 1))
+                pending = []
+            else:
+                params, opt_state, logs = step_fn(params, opt_state, banks,
+                                                  batches, step_rng,
+                                                  lr_fn(epoch - 1))
+            for t in active:
+                losses[t].append(logs[f"{t}_loss"])
+        for batches in pending:  # tail: fewer than steps_per_call batches
             rng, step_rng = jax.random.split(rng)
             params, opt_state, logs = step_fn(params, opt_state, banks,
                                               batches, step_rng,
                                               lr_fn(epoch - 1))
             for t in active:
                 losses[t].append(logs[f"{t}_loss"])
-        epoch_losses = {t: float(np.mean([np.asarray(l) for l in losses[t]]))
-                        for t in active}
+        epoch_losses = {
+            t: float(np.mean(np.concatenate(
+                [np.atleast_1d(np.asarray(l)) for l in losses[t]])))
+            for t in active}
         logger.info("Epoch %3d/%d (%.1fs) losses: %s", epoch, cfg.num_epochs,
                     time.time() - t0,
                     {t: round(v, 4) for t, v in epoch_losses.items()})

@@ -381,16 +381,42 @@ class MultiTaskSystem:
                 total = total + self.tasks[name].weight * loss
             return total, logs
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def step(params, opt_state, banks, batches, rng, lr):
-            opt_state.hyperparams["learning_rate"] = lr
+        def inner_step(params, opt_state, banks, batches, rng):
             (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, banks, batches, rng)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
             return params, opt_state, logs
 
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(params, opt_state, banks, batches, rng, lr):
+            opt_state.hyperparams["learning_rate"] = lr
+            return inner_step(params, opt_state, banks, batches, rng)
+
+        step.inner = inner_step
         return step
+
+    def make_egopack_train_step_multi(self, optimizer, active, graphone,
+                                      steps_per_call: int, **kw):
+        """Unrolled multi-step variant of the EgoPack step (same rationale as
+        ``make_train_step_multi``)."""
+        inner = self.make_egopack_train_step(optimizer, active, graphone,
+                                             **kw).inner
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def multi_step(params, opt_state, banks, batch_list, rng, lr):
+            opt_state.hyperparams["learning_rate"] = lr
+            all_logs = []
+            for k in range(steps_per_call):
+                params, opt_state, logs = inner(
+                    params, opt_state, banks, batch_list[k],
+                    jax.random.fold_in(rng, k))
+                all_logs.append(logs)
+            logs = {key: jnp.stack([l[key] for l in all_logs])
+                    for key in all_logs[0]}
+            return params, opt_state, logs
+
+        return multi_step
 
 
 def _phase2_task_loss(head, name: str, logits, y) -> jax.Array:
