@@ -78,3 +78,45 @@ def test_fused_multitask_forward_matches_per_task():
                                           train=False, rng=None)
         np.testing.assert_allclose(np.asarray(fused[name][0]), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_multi_step_bitwise_matches_sequential():
+    """steps_per_call=K fused dispatch == K sequential dispatches, bitwise,
+    given the same per-step rng derivation."""
+    import jax.numpy as jnp
+    from egopack_tpu.train import optim as topt
+
+    feat_dim, hidden = 16, 16
+    system = ge._build_system(hidden, 16, feat_dim)
+    params0 = system.init_params(jax.random.PRNGKey(0), feat_dim)
+    mesh = pmesh.make_mesh(1, 1)
+    opt = topt.adam(1e-3, 1e-5)
+    active = ("ar", "oscc")
+    K = 3
+    groups = tuple(
+        {t: pmesh.shard_batch(dict(b), mesh)
+         for t, b in ge._synthetic_batches(system, 4, feat_dim, seed=s).items()
+         if t in active}
+        for s in range(K))
+    rng = jax.random.PRNGKey(9)
+
+    # sequential: K dispatches with fold_in(rng, k)
+    p = pmesh.place_params(jax.tree_util.tree_map(lambda x: x.copy(), params0),
+                           mesh)
+    st = topt.init_opt_state(opt, p, mesh)
+    step = system.make_train_step(opt, active)
+    for k in range(K):
+        p, st, _ = step(p, st, groups[k], jax.random.fold_in(rng, k), 1e-3)
+
+    # fused: one dispatch
+    p2 = pmesh.place_params(jax.tree_util.tree_map(lambda x: x.copy(), params0),
+                            mesh)
+    st2 = topt.init_opt_state(opt, p2, mesh)
+    multi = system.make_train_step_multi(opt, active, K)
+    p2, st2, logs = multi(p2, st2, groups, rng, 1e-3)
+
+    for a, b in zip(jax.tree_util.tree_leaves(p),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    assert logs["ar_loss"].shape == (K,)
