@@ -221,5 +221,9 @@ def compose(config_dir: str, config_name: str = "defaults",
 
 
 def default_config_dir() -> str:
-    """Repo-root ``configs/`` directory."""
+    """Config tree location: ``EGOPACK_CONFIG_DIR`` env var if set (installed
+    packages), else the repo-root ``configs/`` directory."""
+    env = os.environ.get("EGOPACK_CONFIG_DIR")
+    if env:
+        return env
     return osp.join(osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__)))), "configs")

@@ -54,10 +54,20 @@ def test_two_phase_egopack_learns_novel_task(learnable_root, tmp_path):
     import main_egopack
 
     base = _mtl_overrides(learnable_root, str(tmp_path), [])
-    main_temporal.main(base + [
+    mtl = main_temporal.main(base + [
         "enabled_tasks=[ar,lta,pnr]", "num_epochs=12", "optimizer.lr=1e-3",
         "model.temporal_pooling.dropout=0.0", "save_model=True",
     ])
+    # PNR learnability: the planted state coefficient makes the keyframe
+    # recoverable — AUROC must clear chance after MTL
+    from egopack_tpu.data.loader import build_dataloader as _bdl
+    from egopack_tpu.eval.meters import build_meter_for_dataset as _bm
+    from egopack_tpu.eval.validate import validate_pnr as _vp
+    pnr_ds = mtl["dsets"]["pnr"]["val"]
+    pnr_meter = _bm(pnr_ds)
+    _vp(mtl["system"].make_eval_step("pnr"), mtl["params"], {},
+        _bdl(pnr_ds, 8, False, 0, False), pnr_meter)
+    assert pnr_meter.get_logs()["auroc"] > 0.6, pnr_meter.get_logs()
     res = main_egopack.main(base + [
         "enabled_tasks=[oscc]", "enable_graphone=True",
         "resume_from=MTL_ar-lta-pnr", "graphone.k=2", "graphone.depth=1",
