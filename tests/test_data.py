@@ -181,3 +181,24 @@ def test_abandoned_prefetch_thread_stops(ego4d_root):
         it.close()  # abandon mid-pass
     time.sleep(0.5)
     assert threading.active_count() <= before + 1
+
+
+def test_feature_store_pt_conversion(tmp_path):
+    """One-time .pt→.npy conversion path (reference process(),
+    data/ego4d_fho.py:142-168) using a real torch tensor file."""
+    import torch
+    from egopack_tpu.data.base import FeatureStore
+
+    raw = tmp_path / "raw" / "features" / "omnivore_video_swinl"
+    raw.mkdir(parents=True)
+    feats = torch.randn(50, 16)
+    torch.save(feats, raw / "vid_x.pt")
+    store = FeatureStore(str(tmp_path), "omnivore_video_swinl", ["vid_x"],
+                         "meta.csv")
+    np.testing.assert_allclose(np.asarray(store["vid_x"]), feats.numpy(),
+                               rtol=1e-6)
+    assert store.feature_dim == 16
+    # idempotent: second load skips conversion
+    store2 = FeatureStore(str(tmp_path), "omnivore_video_swinl", ["vid_x"],
+                          "meta.csv")
+    assert store2["vid_x"].shape == (50, 16)

@@ -93,3 +93,28 @@ def test_predict_lta_submission(mtl_run):
     first = next(iter(preds.values()))
     assert len(first["verb"]) == 5 and len(first["verb"][0]) == 20
     assert len(first["noun"]) == 5 and len(first["noun"][0]) == 20
+
+
+def test_sweep_runner_executes_subprocess(ego4d_root, tmp_path):
+    """The sweep runner actually launches runs (1-config grid, tiny model)."""
+    import subprocess
+    import sys
+    import yaml
+
+    spec = {
+        "name": "smoke",
+        "method": "grid",
+        "program": "main_temporal.py",
+        "parameters": {"seed": {"values": [1]}},
+        "command": ["${env}", "python3", "${program}", "num_epochs=1",
+                    "${args_no_hyphens}"],
+    }
+    yml = tmp_path / "sweep.yaml"
+    yml.write_text(yaml.safe_dump(spec))
+    extra = _mtl_overrides(ego4d_root, str(tmp_path),
+                           ["enabled_tasks=[oscc]", "save_model=False"])
+    extra = [o for o in extra if not o.startswith("num_epochs")]
+    ret = subprocess.run(
+        [sys.executable, "-m", "egopack_tpu.sweep", str(yml), *extra],
+        cwd="/root/repo", capture_output=True, text=True, timeout=400)
+    assert ret.returncode == 0, ret.stderr[-2000:]
