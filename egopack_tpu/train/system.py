@@ -334,7 +334,12 @@ class MultiTaskSystem:
                 params, batch, name, train=temporal_graph_train_mode, rng=k1)
             if not backprop_temporal_graph:
                 feat = jax.lax.stop_gradient(feat)
-            others = tuple(t for t in all_tasks if t != name)
+            # interact only with tasks that HAVE prototype banks — the
+            # reference would KeyError if a primary's aux set includes a task
+            # outside the pretrained triple (only reachable via non-standard
+            # enabled_tasks combinations); filtering is the graceful superset
+            others = tuple(t for t in all_tasks
+                           if t != name and t in graphone.task_labels)
             tfeat = self.head_apply(params, name, "forward_features", feat,
                                     train=True, rng=k2)
             flat = feat.reshape(-1, feat.shape[-1])

@@ -118,3 +118,17 @@ def test_sweep_runner_executes_subprocess(ego4d_root, tmp_path):
         [sys.executable, "-m", "egopack_tpu.sweep", str(yml), *extra],
         cwd="/root/repo", capture_output=True, text=True, timeout=400)
     assert ret.returncode == 0, ret.stderr[-2000:]
+
+
+def test_egopack_multiple_active_tasks_and_validate_all(mtl_run):
+    """Phase 2 with TWO active primary tasks + validate_all_tasks=True
+    (the reference supports arbitrary enabled subsets and zero-weight
+    validation, main_egopack.py:377)."""
+    _, tmp, root = mtl_run
+    result = main_egopack.main(_mtl_overrides(root, tmp, [
+        "enabled_tasks=[oscc,ar]", "enable_graphone=True",
+        "resume_from=MTL_ar-lta-pnr", "graphone.k=2", "graphone.depth=1",
+        "graphone.hidden_size=32", "num_epochs=1", "optimizer.lr=1e-6",
+        "validate_all_tasks=True", "save_model=False",
+    ]))
+    assert set(result["banks"].keys()) == {"ar", "lta", "pnr"}
