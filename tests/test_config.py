@@ -92,3 +92,24 @@ def test_config_surface_covers_reference():
                 assert norm(cfg[key][sub]) == norm(sub_val), (key, sub)
         elif key not in skip_values and key != "name":
             assert norm(cfg[key]) == norm(ref_val), (key, cfg[key], ref_val)
+
+
+def test_aggregate_three_seed_protocol(tmp_path):
+    """Metric aggregation groups runs by config-minus-seed and averages the
+    final value per metric (the reference's 3-run evaluation protocol)."""
+    import json
+    from egopack_tpu.aggregate import aggregate
+
+    for seed, acc in [(65, 0.70), (72, 0.72), (97, 0.74)]:
+        d = tmp_path / f"run_{seed}"
+        d.mkdir()
+        (d / "config.json").write_text(json.dumps(
+            {"seed": seed, "enabled_tasks": ["oscc"], "lr": 1e-6}))
+        with open(d / "metrics.jsonl", "w") as f:
+            f.write(json.dumps({"step": 1, "val/oscc/accuracy": 0.5}) + "\n")
+            f.write(json.dumps({"step": 2, "val/oscc/accuracy": acc}) + "\n")
+    out = aggregate(str(tmp_path))
+    (label, metrics), = out.items()
+    assert "oscc" in label and "65" in label
+    assert metrics["val/oscc/accuracy"]["n"] == 3
+    assert metrics["val/oscc/accuracy"]["mean"] == pytest.approx(0.72)
