@@ -2,6 +2,8 @@
 
 import os.path as osp
 
+import pytest
+
 from egopack_tpu.config import compose, default_config_dir, instantiate
 
 
