@@ -353,6 +353,14 @@ def train_egopack(cfg) -> Dict[str, Any]:
     rng, g_rng = jax.random.split(rng)
     params["graphone"] = graphone.init(g_rng, feats0, banks,
                                        method="interact")["params"]
+    if not cfg.graphone.get("freeze", True):
+        # trainable prototypes (reference freeze=False): bank values join the
+        # param tree and the optimizer; masks stay static
+        # copy: params are donated into the step; the standalone banks
+        # pytree must keep its own buffers
+        params["graphone_banks"] = {t: jnp.array(banks[t].values)
+                                    for t in banks}
+        logger.warning("GraphONE initialized with trainable prototypes.")
 
     mesh = pmesh.make_mesh(cfg.parallel.data, cfg.parallel.model)
     params = pmesh.place_params(params, mesh)
@@ -362,6 +370,8 @@ def train_egopack(cfg) -> Dict[str, Any]:
     # phase-2 loss graph: primary head(s) + graphone convs (+ backbone when
     # backprop is on); detached aux projections and inactive heads stay frozen
     trainable = [CKPT_KEYS[t] for t in active] + ["graphone"]
+    if not cfg.graphone.get("freeze", True):
+        trainable.append("graphone_banks")
     if cfg.backprop_temporal_graph:
         trainable.append("temporal_graph")
     optimizer = instantiate(cfg.optimizer,

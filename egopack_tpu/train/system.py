@@ -83,6 +83,18 @@ def _phase1_task_loss(name: str, logits, y) -> jax.Array:
     raise ValueError(name)
 
 
+
+def _effective_banks(params, banks):
+    """freeze=False support: when bank values live in the param tree
+    ('graphone_banks'), rebuild the banks from params so gradients flow into
+    them (the reference's nn.Embedding.from_pretrained(freeze=False))."""
+    if "graphone_banks" not in params:
+        return banks
+    from ..models.graphone import PrototypeBank
+    return {t: PrototypeBank(params["graphone_banks"][t], banks[t].mask)
+            for t in banks}
+
+
 class MultiTaskSystem:
     """Owns the backbone + heads and builds the fused jitted steps."""
 
@@ -284,8 +296,9 @@ class MultiTaskSystem:
                 flat = feat.reshape(-1, feat.shape[-1])
                 secondary = {t: self.head_apply(params, t, "forward_features",
                                                 flat) for t in aux}
-                inter, _ = graphone.apply({"params": params["graphone"]},
-                                          secondary, banks, method="interact")
+                inter, _ = graphone.apply(
+                    {"params": params["graphone"]}, secondary,
+                    _effective_banks(params, banks), method="interact")
                 aux_feats = {t: v.reshape(feat.shape[0], feat.shape[1], -1)
                              for t, v in inter.items()}
                 post_feat = jnp.stack(
@@ -329,6 +342,7 @@ class MultiTaskSystem:
         all_tasks = tuple(self.tasks.keys())
 
         def task_loss(params, banks, name, batch, rng):
+            banks = _effective_banks(params, banks)
             k1, k2 = jax.random.split(rng)
             feat, node_mask = self.backbone_features(
                 params, batch, name, train=temporal_graph_train_mode, rng=k1)

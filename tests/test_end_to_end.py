@@ -132,3 +132,23 @@ def test_egopack_multiple_active_tasks_and_validate_all(mtl_run):
         "validate_all_tasks=True", "save_model=False",
     ]))
     assert set(result["banks"].keys()) == {"ar", "lta", "pnr"}
+
+
+def test_egopack_trainable_banks(mtl_run):
+    """graphone.freeze=False: prototype banks join the param tree and move
+    during training (reference nn.Embedding.from_pretrained(freeze=False))."""
+    import jax
+    _, tmp, root = mtl_run
+    result = main_egopack.main(_mtl_overrides(root, tmp, [
+        "enabled_tasks=[oscc]", "enable_graphone=True",
+        "resume_from=MTL_ar-lta-pnr", "graphone.k=2", "graphone.depth=1",
+        "graphone.hidden_size=32", "graphone.freeze=False",
+        "num_epochs=1", "optimizer.lr=1e-2", "save_model=False",
+    ]))
+    params, banks = result["params"], result["banks"]
+    assert "graphone_banks" in params
+    moved = any(
+        not np.allclose(np.asarray(params["graphone_banks"][t]),
+                        np.asarray(banks[t].values))
+        for t in banks)
+    assert moved
