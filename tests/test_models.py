@@ -257,3 +257,39 @@ def test_graphone_banks_get_no_gradient():
 
     grad = jax.grad(loss_fn)(jnp.ones((2, 4)))
     np.testing.assert_allclose(np.asarray(grad), 0.0)
+
+
+def test_prototype_topk_l2():
+    """l2 distance path (reference cdist/4096, graphONE.py:127,148-149)."""
+    rng = np.random.default_rng(5)
+    f = jnp.asarray(rng.normal(size=(6, 8)), dtype=jnp.float32)
+    bank = jnp.asarray(rng.normal(size=(12, 8)), dtype=jnp.float32)
+    mask = jnp.asarray([True] * 10 + [False] * 2)
+    idx, dist = prototype_topk(f, bank, mask, k=3, distance="l2")
+    # brute force
+    d = np.linalg.norm(np.asarray(f)[:, None] - np.asarray(bank)[None, :10],
+                       axis=-1) / 4096.0
+    np.testing.assert_array_equal(np.asarray(idx)[:, 0], d.argmin(1))
+    np.testing.assert_allclose(np.asarray(dist)[:, 0], d.min(1), rtol=1e-4)
+
+
+def test_graphone_l2_and_shared_params():
+    g = GraphONE(task_labels=("ar", "lta"), features_size=8, hidden_size=8,
+                 k=2, depth=2, distance_func="l2", share_params=True)
+    feats = {t: jnp.asarray(np.random.default_rng(6).normal(size=(4, 8)),
+                            dtype=jnp.float32) for t in ("ar", "lta")}
+    banks = {t: PrototypeBank(
+        jnp.asarray(np.random.default_rng(7).normal(size=(8, 8)),
+                    dtype=jnp.float32),
+        jnp.asarray([True] * 8)) for t in ("ar", "lta")}
+    params = g.init(jax.random.PRNGKey(0), feats, banks, method="interact")
+    # shared params: stage weights have task axis of size 1
+    assert params["params"]["w_l"].shape[1] == 1
+    out, _ = g.apply(params, feats, banks, method="interact")
+    assert out["ar"].shape == (4, 8)
+    # identical inputs + shared weights + identical banks → identical outputs
+    feats_same = {t: feats["ar"] for t in ("ar", "lta")}
+    banks_same = {t: banks["ar"] for t in ("ar", "lta")}
+    out2, _ = g.apply(params, feats_same, banks_same, method="interact")
+    np.testing.assert_allclose(np.asarray(out2["ar"]), np.asarray(out2["lta"]),
+                               atol=1e-6)
