@@ -8,12 +8,11 @@ epoch reuses one compiled program; meters consume numpy on host.
 
 from __future__ import annotations
 
-
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..data.loader import device_batch as _device_batch
 from ..ops.losses import masked_mean
 from .meters import BaseMeter
 
@@ -34,8 +33,9 @@ def validate(eval_step, params, banks, loader, meter: BaseMeter,
             valid if per_elem.ndim == 1 else _node_mask(batch))))
         y = np.asarray(batch["y"])
         if meter.save_features:
-            # reference: pre = raw segment-mean, post = backbone features
-            # (/root/reference/validate.py:52-56)
+            # reference: pre = raw segment-mean, post = task-projected
+            # (stacked with interacted aux, in the graphone case) features
+            # (/root/reference/validate.py:43,52-56)
             meter.update_features(np.asarray(batch["x"])[valid].mean(-2),
                                   np.asarray(feat)[valid])
         if task_name == "ar":
@@ -79,6 +79,3 @@ def validate_pnr(eval_step, params, banks, loader, meter: BaseMeter) -> BaseMete
                      end_frame=np.asarray(batch["end_frame"])[valid],
                      pnr_frame=np.asarray(batch["pnr_frame"])[valid])
     return meter
-
-
-from ..data.loader import device_batch as _device_batch  # noqa: E402
