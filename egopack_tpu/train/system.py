@@ -334,11 +334,14 @@ class MultiTaskSystem:
         return jax.jit(step)
 
     # ---------------- phase 2: EgoPack step ----------------
-    def make_egopack_train_step(self, optimizer, active: Tuple[str, ...],
-                                graphone: GraphONE,
-                                backprop_temporal_graph: bool = True,
-                                temporal_graph_train_mode: bool = False,
-                                late_fusion: bool = True):
+    def make_egopack_loss_fn(self, active: Tuple[str, ...],
+                             graphone: GraphONE,
+                             backprop_temporal_graph: bool = True,
+                             temporal_graph_train_mode: bool = False,
+                             late_fusion: bool = True):
+        """The phase-2 loss as a standalone function (params, banks, batches,
+        rng) -> (loss, logs); used by the train steps and by the
+        reference-in-the-loop parity tests."""
         all_tasks = tuple(self.tasks.keys())
 
         def task_loss(params, banks, name, batch, rng):
@@ -399,6 +402,17 @@ class MultiTaskSystem:
                 logs[f"{name}_loss"] = loss
                 total = total + self.tasks[name].weight * loss
             return total, logs
+
+        return loss_fn
+
+    def make_egopack_train_step(self, optimizer, active: Tuple[str, ...],
+                                graphone: GraphONE,
+                                backprop_temporal_graph: bool = True,
+                                temporal_graph_train_mode: bool = False,
+                                late_fusion: bool = True):
+        loss_fn = self.make_egopack_loss_fn(
+            active, graphone, backprop_temporal_graph,
+            temporal_graph_train_mode, late_fusion)
 
         def inner_step(params, opt_state, banks, batches, rng):
             (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
