@@ -1,0 +1,124 @@
+"""Cold-start artifact evaluation CLI.
+
+Completes the artifact round-trip the reference delegates to wandb: phase-2
+checkpoints persist ``graphone.state_dict()`` — including the frozen prototype
+Embedding weights — (/root/reference/main_egopack.py:450-464), so a saved
+model must be reloadable for inference without re-sweeping the AR train set.
+This CLI loads an artifact (phase-1 ``MTL_*`` or phase-2 EgoPack), rebuilds
+the system — and, for EgoPack artifacts, the GraphONE convs + prototype banks
+from the payload alone — and runs the full validation loops.
+
+Usage::
+
+    python -m egopack_tpu.evaluate resume_from=MTL_ar-lta-oscc \
+        [validation_split=val] [output=metrics.json] [overrides...]
+
+The validated task set defaults to the artifact's ``meta.tasks`` (the tasks it
+was trained on); override with ``enabled_tasks=[...]`` +
+``validate_all_tasks=True`` semantics as in the training CLIs.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import sys
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .config import compose, default_config_dir, to_container
+from .models.graphone import GraphONE, PrototypeBank
+from .train import driver as drv
+from .train.checkpoint import load_artifact, merge_loaded_params
+from .utils.logging import RunLogger, setup_logging
+
+logger = logging.getLogger(__name__)
+
+
+def evaluate(cfg, output: Optional[str] = None) -> Dict[str, Dict[str, Any]]:
+    setup_logging()
+    assert cfg.resume_from, "evaluate requires resume_from=<artifact>"
+    payload, meta = load_artifact(cfg.artifact_dir, cfg.resume_from)
+    phase2 = (meta.get("phase") == "egopack") or ("graphone" in payload)
+
+    dsets = drv.build_datasets(cfg)
+    system = drv.build_system(cfg, dsets, phase2=phase2)
+    rng = jax.random.PRNGKey(cfg.seed if cfg.seed > 0 else 0)
+    params = system.init_params(rng, dsets["ar"]["train"].features_size)
+
+    payload.pop("epoch", None)
+    bank_vals = payload.pop("graphone_banks", None)
+    bank_masks = payload.pop("graphone_bank_masks", None)
+    gparams = payload.pop("graphone", None)
+    params = merge_loaded_params(params, payload)
+
+    banks: Optional[Dict[str, PrototypeBank]] = None
+    graphone: Optional[GraphONE] = None
+    aux_tasks: tuple = ()
+    if phase2:
+        assert bank_vals is not None and bank_masks is not None, (
+            "EgoPack artifact lacks prototype banks; it predates the complete "
+            "phase-2 artifact format and cannot be evaluated cold")
+        aux_tasks = tuple(meta.get("aux_tasks") or sorted(bank_vals.keys()))
+        banks = {t: PrototypeBank(jnp.asarray(bank_vals[t]),
+                                  jnp.asarray(bank_masks[t]))
+                 for t in bank_vals}
+        gcfg = dict(meta.get("graphone") or to_container(cfg.graphone))
+        graphone = GraphONE(task_labels=aux_tasks,
+                            features_size=cfg.model.hidden_size, **gcfg)
+        params["graphone"] = gparams
+        if not gcfg.get("freeze", True):
+            # trainable-bank artifacts: the trained values live in the params
+            # tree (see train_egopack)
+            params["graphone_banks"] = {t: jnp.asarray(v)
+                                        for t, v in bank_vals.items()}
+
+    eval_tasks = list(meta.get("tasks") or cfg.enabled_tasks)
+    task_weights = {t: (1.0 if t in eval_tasks else 0.0) for t in drv.TASKS}
+    late_fusion = bool(meta.get("late_fusion", cfg.late_fusion))
+
+    eval_steps: Dict[str, Any] = {}
+    for t in drv.TASKS:
+        is_ego = phase2 and task_weights[t] > 0
+        eval_steps[t] = system.make_eval_step(
+            t, aux=tuple(a for a in aux_tasks if a != t) if is_ego else (),
+            graphone=graphone if is_ego else None,
+            late_fusion=late_fusion)
+    lta_head = system.tasks["lta"].head
+
+    @jax.jit
+    def sample_fn(logits, key):
+        return lta_head.generate_from_logits(logits, key)
+
+    run_logger = RunLogger(cfg.output_dir,
+                           f"eval_{cfg.resume_from.split('/')[-1]}",
+                           to_container(cfg))
+    metrics = drv._run_validation(
+        cfg, system, params, banks, dsets, task_weights, 0, run_logger,
+        eval_steps, sample_fn, rng,
+        force_all=bool(cfg.get("validate_all_tasks", False)))
+    run_logger.close()
+    if output:
+        with open(output, "w") as f:
+            json.dump(metrics, f, indent=2, default=float)
+        logger.info("Wrote metrics to %s", output)
+    return metrics
+
+
+def main(argv: Optional[List[str]] = None) -> Dict[str, Dict[str, Any]]:
+    argv = list(argv if argv is not None else sys.argv[1:])
+    output = None
+    overrides = []
+    for a in argv:
+        if a.startswith("output="):
+            output = a.split("=", 1)[1]
+        else:
+            overrides.append(a)
+    cfg = compose(default_config_dir(), "defaults", overrides=overrides)
+    return evaluate(cfg, output)
+
+
+if __name__ == "__main__":
+    main()

@@ -139,7 +139,10 @@ def _epoch_multiloader(dsets, weights) -> MultiLoader:
 def _run_validation(cfg, system, params, banks, dsets, task_weights, epoch,
                     run_logger, eval_steps, sample_fn, rng,
                     force_all: bool = False):
-    """Shared validation block (both mains; main_temporal.py:345-404)."""
+    """Shared validation block (both mains; main_temporal.py:345-404).
+
+    Returns ``{task: meter.get_logs()}`` for the validated tasks."""
+    metrics: Dict[str, Dict[str, Any]] = {}
     for name in TASKS:
         if not (force_all or task_weights[name] > 0):
             continue
@@ -161,6 +164,8 @@ def _run_validation(cfg, system, params, banks, dsets, task_weights, epoch,
             logger.info(line)
         run_logger.log({f"val/{name}/{k}": v for k, v in meter.get_logs().items()
                         if isinstance(v, (int, float))}, step=epoch)
+        metrics[name] = meter.get_logs()
+    return metrics
 
 
 def train_mtl(cfg) -> Dict[str, Any]:
@@ -228,6 +233,7 @@ def train_mtl(cfg) -> Dict[str, Any]:
             logger.info("Resumed full state from epoch %d", last)
 
     profiling = bool(cfg.profile_dir)
+    val_metrics: Dict[str, Any] = {}
     for epoch in range(start_epoch, cfg.num_epochs + 1):
         t0 = time.time()
         losses = {t: [] for t in active}
@@ -288,10 +294,12 @@ def train_mtl(cfg) -> Dict[str, Any]:
         # validate only in the last 5 epochs (main_temporal.py:342-343)
         if epoch < (cfg.num_epochs - 5):
             continue
-        _run_validation(cfg, system, params, None, dsets, task_weights, epoch,
-                        run_logger, eval_steps, sample_fn, rng)
+        val_metrics = _run_validation(cfg, system, params, None, dsets,
+                                      task_weights, epoch, run_logger,
+                                      eval_steps, sample_fn, rng)
 
-    result = {"params": params, "system": system, "dsets": dsets}
+    result = {"params": params, "system": system, "dsets": dsets,
+              "val_metrics": val_metrics}
     if cfg.save_model:
         payload = {k: params[k] for k in params}
         payload["epoch"] = np.asarray(cfg.num_epochs)
@@ -425,6 +433,7 @@ def train_egopack(cfg) -> Dict[str, Any]:
             start_epoch = last + 1
             logger.info("Resumed full state from epoch %d", last)
 
+    val_metrics: Dict[str, Any] = {}
     for epoch in range(start_epoch, cfg.num_epochs + 1):
         t0 = time.time()
         losses = {t: [] for t in active}
@@ -467,17 +476,32 @@ def train_egopack(cfg) -> Dict[str, Any]:
         run_logger.log({f"train/{t}/loss": v for t, v in epoch_losses.items()},
                        step=epoch)
 
-        _run_validation(cfg, system, params, banks, dsets, task_weights, epoch,
-                        run_logger, eval_steps, sample_fn, rng,
-                        force_all=cfg.validate_all_tasks)
+        val_metrics = _run_validation(cfg, system, params, banks, dsets,
+                                      task_weights, epoch, run_logger,
+                                      eval_steps, sample_fn, rng,
+                                      force_all=cfg.validate_all_tasks)
 
     result = {"params": params, "banks": banks, "system": system,
-              "dsets": dsets, "graphone": graphone}
+              "dsets": dsets, "graphone": graphone,
+              "val_metrics": val_metrics}
     if cfg.save_model:
         payload = {k: params[k] for k in params}
+        # the reference persists graphone.state_dict() — which includes the
+        # frozen prototype Embedding weights — in the phase-2 artifact
+        # (/root/reference/main_egopack.py:453-459); banks + validity masks
+        # complete the artifact so it can be evaluated cold
+        # (egopack_tpu.evaluate) without re-sweeping the AR train set
+        eff = params.get("graphone_banks",
+                         {t: b.values for t, b in banks.items()})
+        payload["graphone_banks"] = {t: np.asarray(v) for t, v in eff.items()}
+        payload["graphone_bank_masks"] = {t: np.asarray(b.mask)
+                                          for t, b in banks.items()}
         name = artifact_name(cfg, task_weights)
         save_artifact(cfg.artifact_dir, name, payload,
-                      meta={"tasks": list(active), "phase": "egopack"})
+                      meta={"tasks": list(active), "phase": "egopack",
+                            "aux_tasks": list(aux_tasks),
+                            "graphone": to_container(cfg.graphone),
+                            "late_fusion": bool(cfg.late_fusion)})
         result["artifact"] = name
     run_logger.close()
     return result

@@ -152,3 +152,55 @@ def test_egopack_trainable_banks(mtl_run):
                         np.asarray(banks[t].values))
         for t in banks)
     assert moved
+
+
+def test_egopack_artifact_cold_reload_matches_in_memory(mtl_run):
+    """Phase-2 artifact completeness (VERDICT item 2): train with
+    save_model=True, reload the artifact COLD via egopack_tpu.evaluate, and
+    reproduce the final-epoch validation metrics from disk alone — the
+    reference persists graphone.state_dict() incl. the frozen prototype
+    embeddings (main_egopack.py:453-459)."""
+    from egopack_tpu.evaluate import main as evaluate_main
+
+    _, tmp, root = mtl_run
+    overrides = _mtl_overrides(root, tmp, [
+        "enabled_tasks=[oscc]", "enable_graphone=True",
+        "resume_from=MTL_ar-lta-pnr", "graphone.k=2", "graphone.depth=1",
+        "graphone.hidden_size=32", "graphone.residual=True",
+        "num_epochs=1", "optimizer.lr=1e-6", "save_model=True",
+        "validate_all_tasks=False",
+    ])
+    result = main_egopack.main(overrides)
+    assert result["artifact"] == "MTL_oscc"
+    in_memory = result["val_metrics"]["oscc"]
+
+    # artifact payload carries banks + masks + meta
+    from egopack_tpu.train.checkpoint import load_artifact
+    payload, meta = load_artifact(osp.join(tmp, "artifacts"), "MTL_oscc")
+    assert set(payload["graphone_banks"]) == {"ar", "lta", "pnr"}
+    assert set(payload["graphone_bank_masks"]) == {"ar", "lta", "pnr"}
+    assert meta["phase"] == "egopack"
+    assert sorted(meta["aux_tasks"]) == ["ar", "lta", "pnr"]
+
+    cold = evaluate_main(_mtl_overrides(root, tmp, [
+        "enabled_tasks=[oscc]", "resume_from=MTL_oscc",
+    ]))
+    assert set(cold) == {"oscc"}
+    for key in ("accuracy", "loss"):
+        assert abs(cold["oscc"][key] - in_memory[key]) < 1e-4, key
+
+
+def test_mtl_artifact_cold_reload_matches_in_memory(mtl_run):
+    """Phase-1 artifacts also evaluate cold (same CLI)."""
+    from egopack_tpu.evaluate import main as evaluate_main
+
+    result, tmp, root = mtl_run
+    cold = evaluate_main(_mtl_overrides(root, tmp, [
+        "resume_from=MTL_ar-lta-pnr",
+    ]))
+    assert set(cold) == {"ar", "lta", "pnr"}
+    in_memory = result["val_metrics"]
+    for key in ("verbs_top1", "nouns_top1", "loss"):
+        assert abs(cold["ar"][key] - in_memory["ar"][key]) < 1e-4, key
+    assert abs(cold["pnr"]["localization_error"]
+               - in_memory["pnr"]["localization_error"]) < 1e-4
