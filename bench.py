@@ -62,7 +62,8 @@ def main():
     rng = jax.random.PRNGKey(1)
     for i in range(WARMUP):
         params, opt_state, logs = step(params, opt_state, batch_list,
-                                       jax.random.fold_in(rng, i), 1e-5)
+                                       jax.random.fold_in(rng, i), i * spc,
+                                       1e-5)
     jax.block_until_ready(params)
 
     # several timed windows; report the median window — the dev chip sits
@@ -73,7 +74,7 @@ def main():
         for i in range(STEPS):
             params, opt_state, logs = step(params, opt_state, batch_list,
                                            jax.random.fold_in(rng, w * 1000 + i),
-                                           1e-5)
+                                           i * spc, 1e-5)
         jax.block_until_ready(params)
         windows.append(time.perf_counter() - t0)
     elapsed = sorted(windows)[len(windows) // 2]

@@ -241,25 +241,28 @@ def train_mtl(cfg) -> Dict[str, Any]:
         for t in TASKS:
             dsets[t]["dl_train"].set_epoch(epoch)
         n_steps = 0
+        # per-step keys derive from (run key, epoch, step index) — bitwise
+        # identical across steps_per_call settings and across mid-run resume
+        epoch_key = jax.random.fold_in(jax.random.fold_in(rng, 1), epoch)
         put = lambda tup: {t: pmesh.shard_batch(_device_batch(b), mesh)
                            for t, b in zip(TASKS, tup) if t in active}
         pending = []
         for batches in device_prefetch(iter(ml), put):
             if profiling and n_steps == 1:  # skip the compile step
                 jax.profiler.start_trace(cfg.profile_dir)
-            rng, step_rng = jax.random.split(rng)
             if multi_fn is not None:
                 pending.append(batches)
                 if len(pending) < spc:
                     continue
                 params, opt_state, logs = multi_fn(params, opt_state,
-                                                   tuple(pending), step_rng,
-                                                   lr_fn(epoch - 1))
+                                                   tuple(pending), epoch_key,
+                                                   n_steps, lr_fn(epoch - 1))
                 pending = []
                 n_steps += spc
             else:
-                params, opt_state, logs = step_fn(params, opt_state, batches,
-                                                  step_rng, lr_fn(epoch - 1))
+                params, opt_state, logs = step_fn(
+                    params, opt_state, batches,
+                    jax.random.fold_in(epoch_key, n_steps), lr_fn(epoch - 1))
                 n_steps += 1
             for t in active:
                 losses[t].append(logs[f"{t}_loss"])
@@ -270,9 +273,9 @@ def train_mtl(cfg) -> Dict[str, Any]:
                 logger.info("Wrote profiler trace to %s", cfg.profile_dir)
         # flush the tail (fewer than steps_per_call batches) one by one
         for batches in pending:
-            rng, step_rng = jax.random.split(rng)
-            params, opt_state, logs = step_fn(params, opt_state, batches,
-                                              step_rng, lr_fn(epoch - 1))
+            params, opt_state, logs = step_fn(
+                params, opt_state, batches,
+                jax.random.fold_in(epoch_key, n_steps), lr_fn(epoch - 1))
             for t in active:
                 losses[t].append(logs[f"{t}_loss"])
             n_steps += 1
@@ -296,7 +299,8 @@ def train_mtl(cfg) -> Dict[str, Any]:
             continue
         val_metrics = _run_validation(cfg, system, params, None, dsets,
                                       task_weights, epoch, run_logger,
-                                      eval_steps, sample_fn, rng)
+                                      eval_steps, sample_fn,
+                                      jax.random.fold_in(rng, 2))
 
     result = {"params": params, "system": system, "dsets": dsets,
               "val_metrics": val_metrics}
@@ -440,30 +444,34 @@ def train_egopack(cfg) -> Dict[str, Any]:
         ml = _epoch_multiloader(dsets, task_weights)
         for t in TASKS:
             dsets[t]["dl_train"].set_epoch(epoch)
+        n_steps = 0
+        # (run key, epoch, step index) schedule — see train_mtl
+        epoch_key = jax.random.fold_in(jax.random.fold_in(rng, 1), epoch)
         put = lambda tup: {t: pmesh.shard_batch(_device_batch(b), mesh)
                            for t, b in zip(TASKS, tup) if t in active}
         pending = []
         for batches in device_prefetch(iter(ml), put):
-            rng, step_rng = jax.random.split(rng)
             if multi_fn is not None:
                 pending.append(batches)
                 if len(pending) < spc:
                     continue
                 params, opt_state, logs = multi_fn(params, opt_state, banks,
-                                                   tuple(pending), step_rng,
-                                                   lr_fn(epoch - 1))
+                                                   tuple(pending), epoch_key,
+                                                   n_steps, lr_fn(epoch - 1))
                 pending = []
+                n_steps += spc
             else:
-                params, opt_state, logs = step_fn(params, opt_state, banks,
-                                                  batches, step_rng,
-                                                  lr_fn(epoch - 1))
+                params, opt_state, logs = step_fn(
+                    params, opt_state, banks, batches,
+                    jax.random.fold_in(epoch_key, n_steps), lr_fn(epoch - 1))
+                n_steps += 1
             for t in active:
                 losses[t].append(logs[f"{t}_loss"])
         for batches in pending:  # tail: fewer than steps_per_call batches
-            rng, step_rng = jax.random.split(rng)
-            params, opt_state, logs = step_fn(params, opt_state, banks,
-                                              batches, step_rng,
-                                              lr_fn(epoch - 1))
+            params, opt_state, logs = step_fn(
+                params, opt_state, banks, batches,
+                jax.random.fold_in(epoch_key, n_steps), lr_fn(epoch - 1))
+            n_steps += 1
             for t in active:
                 losses[t].append(logs[f"{t}_loss"])
         epoch_losses = {
@@ -478,7 +486,8 @@ def train_egopack(cfg) -> Dict[str, Any]:
 
         val_metrics = _run_validation(cfg, system, params, banks, dsets,
                                       task_weights, epoch, run_logger,
-                                      eval_steps, sample_fn, rng,
+                                      eval_steps, sample_fn,
+                                      jax.random.fold_in(rng, 2),
                                       force_all=cfg.validate_all_tasks)
 
     result = {"params": params, "banks": banks, "system": system,

@@ -258,17 +258,23 @@ class MultiTaskSystem:
         K dispatched calls of ``make_train_step``; amortizes dispatch latency
         — at the reference's batch 16 this lifts measured throughput ~2.3×
         (BASELINE.md). ``batch_list`` is a tuple of K per-task batch dicts;
-        logs come back stacked with a leading K axis."""
+        logs come back stacked with a leading K axis.
+
+        RNG schedule: step ``k`` uses ``fold_in(rng, gstep0 + k)`` where
+        ``gstep0`` is the epoch-relative index of the first step in the group
+        and ``rng`` the epoch key — the SAME key a single-step driver run
+        derives, so spc=1 and spc=K runs are bitwise identical (verified by
+        ``test_steps_per_call_matches_single_step``)."""
         inner = self.make_train_step(optimizer, active).inner
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def multi_step(params, opt_state, batch_list, rng, lr):
+        def multi_step(params, opt_state, batch_list, rng, gstep0, lr):
             opt_state.hyperparams["learning_rate"] = lr
             all_logs = []
             for k in range(steps_per_call):
                 params, opt_state, logs = inner(
                     params, opt_state, batch_list[k],
-                    jax.random.fold_in(rng, k))
+                    jax.random.fold_in(rng, gstep0 + k))
                 all_logs.append(logs)
             logs = {key: jnp.stack([l[key] for l in all_logs])
                     for key in all_logs[0]}
@@ -431,19 +437,19 @@ class MultiTaskSystem:
 
     def make_egopack_train_step_multi(self, optimizer, active, graphone,
                                       steps_per_call: int, **kw):
-        """Unrolled multi-step variant of the EgoPack step (same rationale as
-        ``make_train_step_multi``)."""
+        """Unrolled multi-step variant of the EgoPack step (same rationale and
+        rng schedule as ``make_train_step_multi``)."""
         inner = self.make_egopack_train_step(optimizer, active, graphone,
                                              **kw).inner
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def multi_step(params, opt_state, banks, batch_list, rng, lr):
+        def multi_step(params, opt_state, banks, batch_list, rng, gstep0, lr):
             opt_state.hyperparams["learning_rate"] = lr
             all_logs = []
             for k in range(steps_per_call):
                 params, opt_state, logs = inner(
                     params, opt_state, banks, batch_list[k],
-                    jax.random.fold_in(rng, k))
+                    jax.random.fold_in(rng, gstep0 + k))
                 all_logs.append(logs)
             logs = {key: jnp.stack([l[key] for l in all_logs])
                     for key in all_logs[0]}
