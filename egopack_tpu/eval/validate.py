@@ -24,10 +24,14 @@ def _node_mask(batch) -> np.ndarray:
 
 
 def validate(eval_step, params, banks, loader, meter: BaseMeter,
-             task_name: str) -> BaseMeter:
-    """Task-generic eval (AR, OSCC) — /root/reference/validate.py:14-60."""
+             task_name: str, put=None) -> BaseMeter:
+    """Task-generic eval (AR, OSCC) — /root/reference/validate.py:14-60.
+
+    ``put`` places a host batch on device(s); the drivers pass a mesh-sharding
+    variant so eval rides the same DP mesh as training."""
+    put = put or _device_batch
     for batch in loader:
-        logits, per_elem, feat, _ = eval_step(params, _device_batch(batch), banks)
+        logits, per_elem, feat, _ = eval_step(params, put(batch), banks)
         valid = np.asarray(batch["valid"])
         loss = float(masked_mean(per_elem, jnp.asarray(
             valid if per_elem.ndim == 1 else _node_mask(batch))))
@@ -50,11 +54,12 @@ def validate(eval_step, params, banks, loader, meter: BaseMeter,
 
 
 def validate_lta(eval_step, params, banks, loader, meter: BaseMeter,
-                 sample_fn, rng: jax.Array) -> BaseMeter:
+                 sample_fn, rng: jax.Array, put=None) -> BaseMeter:
     """LTA eval with K=5 categorical samples per node
     (/root/reference/validate.py:63-106)."""
+    put = put or _device_batch
     for i, batch in enumerate(loader):
-        logits, per_elem, _, _ = eval_step(params, _device_batch(batch), banks)
+        logits, per_elem, _, _ = eval_step(params, put(batch), banks)
         preds, logits = sample_fn(logits, jax.random.fold_in(rng, i))
         valid = np.asarray(batch["valid"])
         loss = float(masked_mean(per_elem, jnp.asarray(_node_mask(batch))))
@@ -66,11 +71,13 @@ def validate_lta(eval_step, params, banks, loader, meter: BaseMeter,
     return meter
 
 
-def validate_pnr(eval_step, params, banks, loader, meter: BaseMeter) -> BaseMeter:
+def validate_pnr(eval_step, params, banks, loader, meter: BaseMeter,
+                 put=None) -> BaseMeter:
     """PNR eval with localization metadata
     (/root/reference/validate.py:109-150)."""
+    put = put or _device_batch
     for batch in loader:
-        logits, per_elem, _, _ = eval_step(params, _device_batch(batch), banks)
+        logits, per_elem, _, _ = eval_step(params, put(batch), banks)
         valid = np.asarray(batch["valid"])
         loss = float(masked_mean(per_elem, jnp.asarray(_node_mask(batch))))
         meter.update(np.asarray(logits)[valid],

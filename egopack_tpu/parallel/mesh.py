@@ -86,6 +86,25 @@ def bank_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def place_banks(banks, mesh: Mesh):
+    """Shard prototype banks over the model axis: values row-sharded, masks
+    row-sharded alongside (the EgoPack long-context analog — P grows with the
+    seen verb-noun vocabulary, SURVEY.md §5). Replicated when model=1.
+
+    Banks are padded to a multiple of 128 rows (models/graphone.py), so any
+    power-of-two model axis divides evenly. Downstream, the fused
+    normalize→matmul→top-k sees a column-sharded distance matrix and GSPMD
+    inserts the gather/all-reduce for the global top-k; the bank row gather
+    after top-k rides the same collectives."""
+    from ..models.graphone import PrototypeBank
+    vs = bank_sharding(mesh)
+    ms = (NamedSharding(mesh, P("model")) if mesh.shape["model"] > 1
+          else NamedSharding(mesh, P()))
+    return {t: PrototypeBank(jax.device_put(b.values, vs),
+                             jax.device_put(b.mask, ms))
+            for t, b in banks.items()}
+
+
 def place_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     shardings = param_shardings(params, mesh)
     return jax.tree_util.tree_map(jax.device_put, params, shardings)

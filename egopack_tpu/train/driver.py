@@ -138,10 +138,15 @@ def _epoch_multiloader(dsets, weights) -> MultiLoader:
 
 def _run_validation(cfg, system, params, banks, dsets, task_weights, epoch,
                     run_logger, eval_steps, sample_fn, rng,
-                    force_all: bool = False):
+                    force_all: bool = False, mesh=None):
     """Shared validation block (both mains; main_temporal.py:345-404).
 
-    Returns ``{task: meter.get_logs()}`` for the validated tasks."""
+    Returns ``{task: meter.get_logs()}`` for the validated tasks. When a mesh
+    is given, eval batches shard on the data axis like the train batches
+    (the val loader pads every batch to a constant batch_size, so shapes stay
+    divisible)."""
+    put = ((lambda b: pmesh.shard_batch(_device_batch(b), mesh))
+           if mesh is not None else None)
     metrics: Dict[str, Dict[str, Any]] = {}
     for name in TASKS:
         if not (force_all or task_weights[name] > 0):
@@ -152,11 +157,13 @@ def _run_validation(cfg, system, params, banks, dsets, task_weights, epoch,
         step = eval_steps[name]
         if name == "lta":
             validate_lta(step, params, banks, dsets[name]["dl_val"], meter,
-                         sample_fn, jax.random.fold_in(rng, epoch))
+                         sample_fn, jax.random.fold_in(rng, epoch), put=put)
         elif name == "pnr":
-            validate_pnr(step, params, banks, dsets[name]["dl_val"], meter)
+            validate_pnr(step, params, banks, dsets[name]["dl_val"], meter,
+                         put=put)
         else:
-            validate(step, params, banks, dsets[name]["dl_val"], meter, name)
+            validate(step, params, banks, dsets[name]["dl_val"], meter, name,
+                     put=put)
         title = {"ar": "Recognition", "oscc": "OSCC", "lta": "LTA",
                  "pnr": "PNR"}[name]
         logger.info(" ## %s ## ", title)
@@ -300,7 +307,7 @@ def train_mtl(cfg) -> Dict[str, Any]:
         val_metrics = _run_validation(cfg, system, params, None, dsets,
                                       task_weights, epoch, run_logger,
                                       eval_steps, sample_fn,
-                                      jax.random.fold_in(rng, 2))
+                                      jax.random.fold_in(rng, 2), mesh=mesh)
 
     result = {"params": params, "system": system, "dsets": dsets,
               "val_metrics": val_metrics}
@@ -376,7 +383,9 @@ def train_egopack(cfg) -> Dict[str, Any]:
 
     mesh = pmesh.make_mesh(cfg.parallel.data, cfg.parallel.model)
     params = pmesh.place_params(params, mesh)
-    banks = pmesh.replicate(banks, mesh)
+    # prototype banks row-shard over the model axis (SURVEY §5 long-context
+    # analog); replicated on data-only meshes
+    banks = pmesh.place_banks(banks, mesh)
 
     active = tuple(t for t in TASKS if task_weights[t] > 0)
     # phase-2 loss graph: primary head(s) + graphone convs (+ backbone when
@@ -488,7 +497,8 @@ def train_egopack(cfg) -> Dict[str, Any]:
                                       task_weights, epoch, run_logger,
                                       eval_steps, sample_fn,
                                       jax.random.fold_in(rng, 2),
-                                      force_all=cfg.validate_all_tasks)
+                                      force_all=cfg.validate_all_tasks,
+                                      mesh=mesh)
 
     result = {"params": params, "banks": banks, "system": system,
               "dsets": dsets, "graphone": graphone,
