@@ -303,11 +303,13 @@ class Ego4dAnticipationMeter(BaseMeter):
         return out
 
 
-def build_meter_for_dataset(dataset, save_features: bool = False) -> BaseMeter:
+def build_meter_for_dataset(dataset, save_features: bool = False,
+                            log_confusion: bool = False) -> BaseMeter:
     """isinstance dispatch (/root/reference/utils/meters/__init__.py:10-22);
     order matters: PNR before OSCC (subclass), LTA/Anticipation before FHO."""
     if isinstance(dataset, Ego4dRecognitionDataset):
-        return Ego4dRecognitionMeter(dataset, save_features=save_features)
+        return Ego4dRecognitionMeter(dataset, save_features=save_features,
+                                     log_confusion=log_confusion)
     if isinstance(dataset, Ego4dAnticipationDataset):
         return Ego4dAnticipationMeter(dataset)
     if isinstance(dataset, Ego4dPNRDataset):

@@ -153,7 +153,8 @@ def _run_validation(cfg, system, params, banks, dsets, task_weights, epoch,
             continue
         meter = build_meter_for_dataset(
             dsets[name]["val"],
-            save_features=bool(cfg.get("log_feature_plots", False)))
+            save_features=bool(cfg.get("log_feature_plots", False)),
+            log_confusion=bool(cfg.get("log_confusion_matrices", False)))
         step = eval_steps[name]
         if name == "lta":
             validate_lta(step, params, banks, dsets[name]["dl_val"], meter,
@@ -171,8 +172,35 @@ def _run_validation(cfg, system, params, banks, dsets, task_weights, epoch,
             logger.info(line)
         run_logger.log({f"val/{name}/{k}": v for k, v in meter.get_logs().items()
                         if isinstance(v, (int, float))}, step=epoch)
+        _emit_plots(cfg, run_logger, meter, name, epoch)
         metrics[name] = meter.get_logs()
     return metrics
+
+
+def _emit_plots(cfg, run_logger, meter, name: str, epoch: int) -> None:
+    """Write the observability artifacts the reference sends to wandb: top-2
+    confusion + per-class accuracy tables (utils/meters/ego4d.py:134-203) and
+    t-SNE feature embeddings (utils/meters/base.py:36-39), as JSON/NPZ files
+    in the run directory."""
+    import json
+    import os.path as osp
+    if getattr(meter, "log_confusion", False):
+        tables = {which: meter.confusion_tables(which)
+                  for which in ("verbs", "nouns")}
+        path = osp.join(run_logger.dir, f"confusion_{name}_ep{epoch}.json")
+        with open(path, "w") as f:
+            json.dump(tables, f)
+        logger.info("Wrote confusion tables to %s", path)
+    if meter.save_features:
+        arrays = {}
+        for which in ("pre", "post"):
+            emb = meter.feature_embedding(which)
+            if emb is not None:
+                arrays[which] = emb
+        if arrays:
+            path = osp.join(run_logger.dir, f"features_{name}_ep{epoch}.npz")
+            np.savez(path, **arrays)
+            logger.info("Wrote t-SNE feature embeddings to %s", path)
 
 
 def train_mtl(cfg) -> Dict[str, Any]:
@@ -244,6 +272,7 @@ def train_mtl(cfg) -> Dict[str, Any]:
     for epoch in range(start_epoch, cfg.num_epochs + 1):
         t0 = time.time()
         losses = {t: [] for t in active}
+        norms = {"grad_norm": [], "param_norm": []}
         ml = _epoch_multiloader(dsets, task_weights)
         for t in TASKS:
             dsets[t]["dl_train"].set_epoch(epoch)
@@ -273,6 +302,8 @@ def train_mtl(cfg) -> Dict[str, Any]:
                 n_steps += 1
             for t in active:
                 losses[t].append(logs[f"{t}_loss"])
+            for k in norms:
+                norms[k].append(logs[k])
             if profiling and n_steps >= 6:
                 jax.block_until_ready(params)
                 jax.profiler.stop_trace()
@@ -285,6 +316,8 @@ def train_mtl(cfg) -> Dict[str, Any]:
                 jax.random.fold_in(epoch_key, n_steps), lr_fn(epoch - 1))
             for t in active:
                 losses[t].append(logs[f"{t}_loss"])
+            for k in norms:
+                norms[k].append(logs[k])
             n_steps += 1
         epoch_losses = {
             t: float(np.mean(np.concatenate(
@@ -294,7 +327,13 @@ def train_mtl(cfg) -> Dict[str, Any]:
                     epoch, cfg.num_epochs, n_steps, time.time() - t0,
                     lr_fn(epoch - 1),
                     {t: round(v, 4) for t, v in epoch_losses.items()})
-        run_logger.log({f"train/{t}/loss": v for t, v in epoch_losses.items()},
+        epoch_norms = {
+            k: float(np.mean(np.concatenate(
+                [np.atleast_1d(np.asarray(v)) for v in vs])))
+            for k, vs in norms.items() if vs}
+        run_logger.log({**{f"train/{t}/loss": v
+                           for t, v in epoch_losses.items()},
+                        **{f"train/{k}": v for k, v in epoch_norms.items()}},
                        step=epoch)
 
         if cfg.checkpoint.enable and epoch % cfg.checkpoint.every == 0:
@@ -310,7 +349,7 @@ def train_mtl(cfg) -> Dict[str, Any]:
                                       jax.random.fold_in(rng, 2), mesh=mesh)
 
     result = {"params": params, "system": system, "dsets": dsets,
-              "val_metrics": val_metrics}
+              "val_metrics": val_metrics, "run_dir": run_logger.dir}
     if cfg.save_model:
         payload = {k: params[k] for k in params}
         payload["epoch"] = np.asarray(cfg.num_epochs)
@@ -450,6 +489,7 @@ def train_egopack(cfg) -> Dict[str, Any]:
     for epoch in range(start_epoch, cfg.num_epochs + 1):
         t0 = time.time()
         losses = {t: [] for t in active}
+        norms = {"grad_norm": [], "param_norm": []}
         ml = _epoch_multiloader(dsets, task_weights)
         for t in TASKS:
             dsets[t]["dl_train"].set_epoch(epoch)
@@ -476,6 +516,8 @@ def train_egopack(cfg) -> Dict[str, Any]:
                 n_steps += 1
             for t in active:
                 losses[t].append(logs[f"{t}_loss"])
+            for k in norms:
+                norms[k].append(logs[k])
         for batches in pending:  # tail: fewer than steps_per_call batches
             params, opt_state, logs = step_fn(
                 params, opt_state, banks, batches,
@@ -483,6 +525,8 @@ def train_egopack(cfg) -> Dict[str, Any]:
             n_steps += 1
             for t in active:
                 losses[t].append(logs[f"{t}_loss"])
+            for k in norms:
+                norms[k].append(logs[k])
         epoch_losses = {
             t: float(np.mean(np.concatenate(
                 [np.atleast_1d(np.asarray(l)) for l in losses[t]])))
@@ -490,7 +534,13 @@ def train_egopack(cfg) -> Dict[str, Any]:
         logger.info("Epoch %3d/%d (%.1fs) losses: %s", epoch, cfg.num_epochs,
                     time.time() - t0,
                     {t: round(v, 4) for t, v in epoch_losses.items()})
-        run_logger.log({f"train/{t}/loss": v for t, v in epoch_losses.items()},
+        epoch_norms = {
+            k: float(np.mean(np.concatenate(
+                [np.atleast_1d(np.asarray(v)) for v in vs])))
+            for k, vs in norms.items() if vs}
+        run_logger.log({**{f"train/{t}/loss": v
+                           for t, v in epoch_losses.items()},
+                        **{f"train/{k}": v for k, v in epoch_norms.items()}},
                        step=epoch)
 
         val_metrics = _run_validation(cfg, system, params, banks, dsets,
@@ -502,7 +552,7 @@ def train_egopack(cfg) -> Dict[str, Any]:
 
     result = {"params": params, "banks": banks, "system": system,
               "dsets": dsets, "graphone": graphone,
-              "val_metrics": val_metrics}
+              "val_metrics": val_metrics, "run_dir": run_logger.dir}
     if cfg.save_model:
         payload = {k: params[k] for k in params}
         # the reference persists graphone.state_dict() — which includes the

@@ -69,6 +69,13 @@ def lta_full_adjacency(base_adj: jax.Array, y: jax.Array, radius: float,
     return base_adj[None] | extra
 
 
+def _global_norm(tree) -> jax.Array:
+    """L2 norm over every leaf (optax.global_norm semantics)."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(l.astype(jnp.float32)))
+                        for l in leaves))
+
+
 def _phase1_task_loss(name: str, logits, y) -> jax.Array:
     """Per-element phase-1 criteria (/root/reference/main_temporal.py:281-298):
     AR/LTA: plain CE(ignore −1) summed over verb+noun heads; OSCC: plain CE;
@@ -237,6 +244,10 @@ class MultiTaskSystem:
         def inner_step(params, opt_state, batches, rng):
             (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, batches, rng)
+            # gradient/parameter observability — the wandb.watch(model,
+            # log="all") analog (/root/reference/main_temporal.py:262)
+            logs["grad_norm"] = _global_norm(grads)
+            logs["param_norm"] = _global_norm(params)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = jax.tree_util.tree_map(
                 lambda p, u: p + u, params, updates)
@@ -423,6 +434,8 @@ class MultiTaskSystem:
         def inner_step(params, opt_state, banks, batches, rng):
             (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, banks, batches, rng)
+            logs["grad_norm"] = _global_norm(grads)
+            logs["param_norm"] = _global_norm(params)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
             return params, opt_state, logs
