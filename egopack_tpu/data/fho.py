@@ -30,9 +30,11 @@ logger = logging.getLogger(__name__)
 FHOEntry = namedtuple("FHOEntry", ["id", "video_uid", "clip_uid",
                                    "start_frame", "end_frame",
                                    "verb_label", "noun_label"])
-AREntry = namedtuple("AREntry", ["video_uid", "clip_uid", "actions"])
+# sel: (window,) indices into the clip's precomputed action-window arrays
+AREntry = namedtuple("AREntry", ["video_uid", "clip_uid", "sel",
+                                 "verb", "noun"])
 LTAEntry = namedtuple("LTAEntry", ["video_uid", "clip_uid", "id",
-                                   "input_clips", "forecast_clips"])
+                                   "input_sel", "forecast_labels"])
 
 _EGOVLP_BROKEN_VIDEOS = (
     "77ed1624-f87b-4196-9a0a-95b7023b18e4",
@@ -95,6 +97,37 @@ class Ego4dFHODataset(BaseDataset):
         except StopIteration:
             return FEATURE_SIZES[self.features_path]
 
+    # --- vectorized window precompute (host hot path) ---
+    def _clip_windows(self, actions, lta_start_rule: bool = False):
+        """Per-clip ``(a_start, size)`` int64 arrays for a sorted action list.
+
+        Same math as ``_clip_features`` (AR rule reference :230, LTA rule
+        :369), hoisted to dataset init so ``get()`` does ONE vectorized
+        sampler + ONE native gather per sample instead of one per action —
+        the per-action Python dispatch was the host bottleneck at Ego4D
+        scale (scripts/bench_host_pipeline.py)."""
+        n_rows = self._store[actions[0].video_uid].shape[0]
+        sf = np.asarray([a.start_frame for a in actions], np.int64)
+        ef = np.asarray([a.end_frame for a in actions], np.int64)
+        if lta_start_rule:
+            a_start = np.maximum(1, sf // self.stride) - 1
+        else:
+            a_start = sf // self.stride
+        a_end = np.minimum(n_rows - 1, ef // self.stride)
+        return a_start, a_end - a_start
+
+    def _gather_windows(self, video_uid: str, starts, sizes,
+                        rng: Optional[np.random.Generator]) -> np.ndarray:
+        """(A, S, D) features for A windows in one video: one vectorized
+        sampler + one (multithreaded) native gather. Empty windows (size<=0)
+        zero-fill via the gather's negative-index guard — the reference's
+        silent-corruption behavior (:238-239)."""
+        feats = self._store[video_uid]
+        idx = sampling.batch_sampling_indices(sizes, self.num_segments, rng)
+        flat = np.where(sizes[:, None] > 0, idx + starts[:, None], -1)
+        out = native.gather_rows(feats, flat.reshape(-1))
+        return out.reshape(len(starts), self.num_segments, feats.shape[1])
+
     # --- feature gather shared by AR/LTA ---
     def _clip_features(self, video_uid: str, start_frame: int, end_frame: int,
                        rng: Optional[np.random.Generator],
@@ -147,6 +180,9 @@ class Ego4dRecognitionDataset(Ego4dFHODataset):
                        key=lambda x: x.id)
             for cu in self.clip_uids
         }
+        # per-clip (a_start, size) arrays, indexed by each window's sel
+        self._windows = {cu: self._clip_windows(actions)
+                         for cu, actions in clip_annotations.items()}
         self.action_segments: List[AREntry] = []
         for clip_uid, actions in clip_annotations.items():
             video_uid = actions[0].video_uid
@@ -156,8 +192,10 @@ class Ego4dRecognitionDataset(Ego4dFHODataset):
                 sel = [0] * max(0, -left)
                 sel += list(range(max(0, left), min(len(actions), right)))
                 sel += [len(actions) - 1] * max(0, right - len(actions))
+                center = actions[i]
                 self.action_segments.append(
-                    AREntry(video_uid, clip_uid, [actions[s] for s in sel]))
+                    AREntry(video_uid, clip_uid, np.asarray(sel, np.int64),
+                            center.verb_label, center.noun_label))
 
     def graph_spec(self, k: float = 1.0) -> GraphSpec:
         return ar_spec(self.window_size, k)
@@ -169,13 +207,12 @@ class Ego4dRecognitionDataset(Ego4dFHODataset):
         seg = self.action_segments[idx]
         center = self.window_size // 2
         y = np.full((self.window_size, 2), -1, dtype=np.int32)
-        y[center, 0] = seg.actions[center].verb_label
-        y[center, 1] = seg.actions[center].noun_label
+        y[center, 0] = seg.verb
+        y[center, 1] = seg.noun
         use_rng = rng if (self.split == "train" and self.randomize_train) else None
-        x = np.stack([
-            self._clip_features(seg.video_uid, a.start_frame, a.end_frame, use_rng)
-            for a in seg.actions
-        ])
+        starts, sizes = self._windows[seg.clip_uid]
+        x = self._gather_windows(seg.video_uid, starts[seg.sel],
+                                 sizes[seg.sel], use_rng)
         return {"x": x, "y": y}
 
 
@@ -200,21 +237,29 @@ class Ego4dLTADataset(Ego4dFHODataset):
                        key=lambda x: x.id)
             for cu in self.clip_uids
         }
+        self._windows = {cu: self._clip_windows(actions, lta_start_rule=True)
+                         for cu, actions in clip_annotations.items()}
         self.lta_annotations: List[LTAEntry] = []
         for clip_uid, videos in clip_annotations.items():
             video_uid = videos[0].video_uid
             if "test" in split:
                 for i in range(len(videos) - num_input_clips):
-                    inp = videos[i:i + num_input_clips]
+                    inp_sel = np.arange(i, i + num_input_clips)
                     self.lta_annotations.append(
-                        LTAEntry(video_uid, clip_uid, inp[-1].id, inp, []))
+                        LTAEntry(video_uid, clip_uid,
+                                 videos[i + num_input_clips - 1].id,
+                                 inp_sel, None))
             else:
                 for i in range(len(videos) - num_input_clips - num_forecasted_clips):
-                    inp = videos[i:i + num_input_clips]
+                    inp_sel = np.arange(i, i + num_input_clips)
                     fore = videos[i + num_input_clips:
                                   i + num_input_clips + num_forecasted_clips]
+                    labels = np.asarray([(c.verb_label, c.noun_label)
+                                         for c in fore], np.int32)
                     self.lta_annotations.append(
-                        LTAEntry(video_uid, clip_uid, inp[-1].id, inp, fore))
+                        LTAEntry(video_uid, clip_uid,
+                                 videos[i + num_input_clips - 1].id,
+                                 inp_sel, labels))
 
     def graph_spec(self, k: float = 1.0) -> GraphSpec:
         return lta_spec(self.n_input_clips, self.n_forecast_clips, k)
@@ -229,23 +274,22 @@ class Ego4dLTADataset(Ego4dFHODataset):
         if "test" in self.split:
             y[self.n_input_clips:, :] = 0
         else:
-            for j, clip in enumerate(ann.forecast_clips):
-                y[self.n_input_clips + j] = (clip.verb_label, clip.noun_label)
+            y[self.n_input_clips:] = ann.forecast_labels
 
         use_rng = rng if self.split == "train" else None
-        inputs = [self._clip_features(ann.video_uid, a.start_frame, a.end_frame,
-                                      use_rng, lta_start_rule=True)
-                  for a in ann.input_clips]
+        starts, sizes = self._windows[ann.clip_uid]
+        inputs = self._gather_windows(ann.video_uid, starts[ann.input_sel],
+                                      sizes[ann.input_sel], use_rng)
+        x = np.empty((n,) + inputs.shape[1:], np.float32)
+        x[:self.n_input_clips] = inputs
         if self.append_node == "random":
             gen = rng or np.random.default_rng(0)
-            fill = [gen.random(inputs[-1].shape).astype(np.float32)
-                    for _ in range(self.n_forecast_clips)]
+            x[self.n_input_clips:] = gen.random(
+                (self.n_forecast_clips,) + inputs.shape[1:], np.float32)
         elif self.append_node == "zero":
-            fill = [np.zeros_like(inputs[-1]) for _ in range(self.n_forecast_clips)]
+            x[self.n_input_clips:] = 0.0
         else:  # avg (reference default in configs)
-            mean = np.stack(inputs).mean(0)
-            fill = [mean for _ in range(self.n_forecast_clips)]
-        x = np.stack(inputs + fill)
+            x[self.n_input_clips:] = inputs.mean(0)
         return {"x": x, "y": y, "clip_uid": ann.clip_uid, "last_idx": ann.id}
 
 

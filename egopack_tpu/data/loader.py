@@ -58,13 +58,24 @@ class DataLoader:
     """
 
     def __init__(self, dataset: BaseDataset, batch_size: int, shuffle: bool,
-                 drop_last: bool, seed: int = 0, prefetch: int = 4):
+                 drop_last: bool, seed: int = 0, prefetch: int = 4,
+                 process_shard: Optional[tuple] = None):
+        """``process_shard=(index, count)`` makes this a multi-host loader:
+        the GLOBAL epoch schedule (same seed on every process) is computed
+        identically everywhere and each process materializes only its
+        contiguous block of every global batch — multiloader epoch semantics
+        are preserved exactly across hosts."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch = prefetch
+        self.process_shard = process_shard
+        if process_shard is not None:
+            assert batch_size % process_shard[1] == 0, \
+                f"batch_size {batch_size} not divisible by " \
+                f"{process_shard[1]} processes"
         self._epoch = 0
         self._pass = 0  # re-iteration counter within an epoch (wraparound)
 
@@ -90,9 +101,23 @@ class DataLoader:
     def _produce(self, pass_idx: int) -> Iterator[Dict[str, Any]]:
         sample_rng = np.random.default_rng((self.seed, self._epoch,
                                             pass_idx, 1))
+        local_bs = self.batch_size
         for idxs in self._index_batches(pass_idx):
+            if self.process_shard is not None:
+                pid, count = self.process_shard
+                per = self.batch_size // count
+                local_bs = per
+                idxs = idxs[pid * per:(pid + 1) * per]
+            if len(idxs) == 0:  # partial global batch owned by other hosts
+                # every process must yield the same number of batches; emit a
+                # fully-padded (all-invalid) batch from sample 0
+                samples = [self.dataset.get(0, sample_rng)]
+                batch = collate(samples, pad_to=local_bs)
+                batch["valid"][:] = False
+                yield batch
+                continue
             samples = [self.dataset.get(int(i), sample_rng) for i in idxs]
-            yield collate(samples, pad_to=self.batch_size)
+            yield collate(samples, pad_to=local_bs)
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         # each re-iteration (multiloader wraparound) reshuffles and redraws
@@ -146,11 +171,13 @@ class DataLoader:
 
 
 def build_dataloader(dataset: BaseDataset, batch_size: int, shuffle: bool,
-                     num_workers: int, drop_last: bool, seed: int = 0) -> DataLoader:
+                     num_workers: int, drop_last: bool, seed: int = 0,
+                     process_shard: Optional[tuple] = None) -> DataLoader:
     """Signature-compatible with the reference builder; ``num_workers`` maps to
     prefetch depth (threading model, not process workers)."""
     return DataLoader(dataset, batch_size, shuffle, drop_last, seed,
-                      prefetch=max(2, num_workers))
+                      prefetch=max(2, num_workers),
+                      process_shard=process_shard)
 
 
 class MultiLoader:

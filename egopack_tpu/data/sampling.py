@@ -37,6 +37,30 @@ def uniform_sampling_indices(size: int, n: int) -> np.ndarray:
     return offsets.astype(int)
 
 
+def batch_sampling_indices(sizes: np.ndarray, n: int,
+                           rng: np.random.Generator | None) -> np.ndarray:
+    """Vectorized sampler over A windows at once: ``(A, n)`` indices.
+
+    Row semantics are identical to calling ``random_sampling_indices`` /
+    ``uniform_sampling_indices`` per window (the per-row jitter is still
+    uniform over ``[0, size // n)``); vectorizing deletes the per-action
+    Python/numpy dispatch that dominated the host pipeline at Ego4D scale
+    (one sampler + one gather per SAMPLE instead of per action).
+    Rows with ``size <= 0`` yield zeros (callers map them to the zero-fill
+    guard)."""
+    sizes = np.asarray(sizes, np.int64)
+    a = len(sizes)
+    base = np.arange(n)[None] * (sizes[:, None] / n)  # (A, n) float
+    if rng is None:
+        off = (sizes // n // 2)[:, None]
+        return base.astype(np.int64) + off
+    avg = sizes // n
+    jitter = rng.integers(0, np.maximum(avg, 1)[:, None], size=(a, n))
+    jittered = np.round(np.clip(base + jitter, 0, sizes[:, None]))
+    return np.where(avg[:, None] > 0, jittered.astype(np.int64),
+                    base.astype(np.int64))
+
+
 def random_sampling(data: np.ndarray, num_segments: int,
                     rng: np.random.Generator) -> np.ndarray:
     indices = random_sampling_indices(data.shape[0], num_segments, rng)

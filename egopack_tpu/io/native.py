@@ -71,13 +71,26 @@ def _i64p(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
 
 
+def default_io_threads() -> int:
+    """Gather thread count: ``EGOPACK_IO_THREADS`` env, else the host core
+    count. Threads also overlap memmap page-fault IO waits, so >1 can pay
+    even on a single core when the feature store exceeds the page cache."""
+    env = os.environ.get("EGOPACK_IO_THREADS")
+    if env:
+        return max(1, int(env))
+    return max(1, os.cpu_count() or 1)
+
+
 def gather_rows(src: np.ndarray, idx: np.ndarray,
                 out: Optional[np.ndarray] = None,
-                n_threads: int = 1) -> np.ndarray:
+                n_threads: Optional[int] = None) -> np.ndarray:
     """out[i] = src[clamp(idx[i])]; negative index → zero row.
 
     src must be float32 C-contiguous (memmaps from the feature store are).
+    ``n_threads=None`` resolves via :func:`default_io_threads`.
     """
+    if n_threads is None:
+        n_threads = default_io_threads()
     lib = get_lib()
     idx = np.ascontiguousarray(idx, np.int64)
     n, dim = len(idx), src.shape[1]

@@ -1,23 +1,36 @@
-"""Multi-host (DCN) bring-up helpers.
+"""Multi-host (DCN) integration.
 
 The reference is single-GPU only (SURVEY.md §2.5). Multi-host here follows the
 standard JAX recipe: ``jax.distributed.initialize`` on every process, a global
-mesh over all devices, and per-process batch shards assembled into global
-arrays with ``jax.make_array_from_process_local_data`` — the jitted steps are
+mesh over all devices, per-process loader shards assembled into global arrays
+with ``jax.make_array_from_process_local_data`` — the jitted steps are
 unchanged (GSPMD routes DP gradients over ICI within a slice and DCN across
 slices by mesh construction).
+
+Wiring (round 2): the drivers call :func:`initialize` when
+``cfg.parallel.multihost`` is set, the train loaders take a
+``process_shard=(index, count)`` so each host loads only its slice of every
+global batch (the MultiLoader epoch schedule is derived from the same seed on
+every process, so the global batch semantics of the reference's multiloader
+are preserved), and :func:`put_batch` assembles the global arrays. Eval
+batches are replicated (every process feeds the full batch; outputs are
+replicated so every process computes identical metrics and only process 0
+logs). Verified in-image by a real 2-process ``jax.distributed`` CPU test
+(tests/test_multihost.py).
 """
 
 from __future__ import annotations
 
 import logging
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 logger = logging.getLogger(__name__)
+
+_DEVICE_KEYS = ("x", "y", "valid")
 
 
 def initialize(coordinator_address: Optional[str] = None,
@@ -36,16 +49,34 @@ def initialize(coordinator_address: Optional[str] = None,
         logger.info("single-process run (%s)", e)
 
 
-def global_batch(local_batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Assemble per-process host shards into global arrays sharded on the
-    ``data`` axis. On a single process this is exactly ``shard_batch``."""
-    sharding = NamedSharding(mesh, P("data"))
+def process_shard() -> Optional[Tuple[int, int]]:
+    """(process_index, process_count) for loader sharding; None when single."""
+    if jax.process_count() == 1:
+        return None
+    return (jax.process_index(), jax.process_count())
+
+
+def global_batch(local_batch: Dict[str, Any], mesh: Mesh,
+                 spec: P = P("data")) -> Dict[str, Any]:
+    """Assemble per-process host shards into global arrays with the given
+    partition spec (``P()`` = every process holds the full array, replicated).
+    On a single process this is exactly ``shard_batch``."""
+    sharding = NamedSharding(mesh, spec)
     if jax.process_count() == 1:
         return {k: jax.device_put(v, sharding) for k, v in local_batch.items()}
     return {
         k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
         for k, v in local_batch.items()
     }
+
+
+def put_batch(batch: Dict[str, Any], mesh: Mesh,
+              replicated: bool = False) -> Dict[str, Any]:
+    """Device placement for one host batch: keep only the array fields the
+    jitted steps consume, then assemble globally (data-sharded for train,
+    replicated for multi-host eval)."""
+    local = {k: np.asarray(v) for k, v in batch.items() if k in _DEVICE_KEYS}
+    return global_batch(local, mesh, P() if replicated else P("data"))
 
 
 def process_local_indices(n: int, batch_size: int) -> slice:

@@ -23,6 +23,7 @@ from ..eval.validate import validate, validate_lta, validate_pnr, _device_batch
 from ..models.graphone import (GraphONE, build_prototypes, make_prototype_step)
 from ..models.heads import LTATask, OSCCTask, PNRTask, RecognitionTask
 from ..parallel import mesh as pmesh
+from ..parallel import multihost as mh
 from ..train import optim as topt
 from ..train.checkpoint import (latest_state, load_artifact,
                                 merge_loaded_params, restore_state,
@@ -68,8 +69,12 @@ def task_weights_from_cfg(cfg) -> Dict[str, float]:
 
 def build_datasets(cfg) -> Dict[str, Dict[str, Any]]:
     """Instantiate the 4 task datasets + loaders (both mains build all four
-    regardless of enabled_tasks, main_temporal.py:161-235)."""
+    regardless of enabled_tasks, main_temporal.py:161-235). Under multi-host,
+    train loaders materialize only this process's block of every global batch
+    (multiloader epoch semantics preserved — same schedule seed everywhere);
+    val loaders stay full (eval batches are replicated, see multihost.py)."""
     out = {}
+    shard = mh.process_shard()
     dataset_cfgs = {"ar": cfg.dataset_recognition, "oscc": cfg.dataset_oscc,
                     "lta": cfg.dataset_lta, "pnr": cfg.dataset_pnr}
     for name, dcfg in dataset_cfgs.items():
@@ -78,7 +83,8 @@ def build_datasets(cfg) -> Dict[str, Dict[str, Any]]:
         out[name] = {
             "train": train, "val": val,
             "dl_train": build_dataloader(train, cfg.batch_size, True,
-                                         cfg.num_workers, True, seed=cfg.seed),
+                                         cfg.num_workers, True, seed=cfg.seed,
+                                         process_shard=shard),
             "dl_val": build_dataloader(val, cfg.batch_size, False,
                                        cfg.num_workers, False, seed=cfg.seed),
         }
@@ -145,7 +151,8 @@ def _run_validation(cfg, system, params, banks, dsets, task_weights, epoch,
     is given, eval batches shard on the data axis like the train batches
     (the val loader pads every batch to a constant batch_size, so shapes stay
     divisible)."""
-    put = ((lambda b: pmesh.shard_batch(_device_batch(b), mesh))
+    replicated = jax.process_count() > 1
+    put = ((lambda b: mh.put_batch(b, mesh, replicated=replicated))
            if mesh is not None else None)
     metrics: Dict[str, Dict[str, Any]] = {}
     for name in TASKS:
@@ -206,6 +213,8 @@ def _emit_plots(cfg, run_logger, meter, name: str, epoch: int) -> None:
 def train_mtl(cfg) -> Dict[str, Any]:
     """Phase-1 multi-task pretraining (main_temporal.py)."""
     setup_logging()
+    if bool(cfg.parallel.get("multihost", False)):
+        mh.initialize()
     run_logger = RunLogger(cfg.output_dir,
                            format_run_name(cfg.wandb_name_pattern,
                                            to_container(cfg)),
@@ -280,7 +289,7 @@ def train_mtl(cfg) -> Dict[str, Any]:
         # per-step keys derive from (run key, epoch, step index) — bitwise
         # identical across steps_per_call settings and across mid-run resume
         epoch_key = jax.random.fold_in(jax.random.fold_in(rng, 1), epoch)
-        put = lambda tup: {t: pmesh.shard_batch(_device_batch(b), mesh)
+        put = lambda tup: {t: mh.put_batch(b, mesh)
                            for t, b in zip(TASKS, tup) if t in active}
         pending = []
         for batches in device_prefetch(iter(ml), put):
@@ -350,7 +359,7 @@ def train_mtl(cfg) -> Dict[str, Any]:
 
     result = {"params": params, "system": system, "dsets": dsets,
               "val_metrics": val_metrics, "run_dir": run_logger.dir}
-    if cfg.save_model:
+    if cfg.save_model and jax.process_index() == 0:
         payload = {k: params[k] for k in params}
         payload["epoch"] = np.asarray(cfg.num_epochs)
         save_artifact(cfg.artifact_dir, name, payload,
@@ -365,6 +374,8 @@ def train_mtl(cfg) -> Dict[str, Any]:
 def train_egopack(cfg) -> Dict[str, Any]:
     """Phase-2 EgoPack novel-task training (main_egopack.py)."""
     setup_logging()
+    if bool(cfg.parallel.get("multihost", False)):
+        mh.initialize()
     if not cfg.enable_graphone:
         raise SystemExit("Invalid configuration (enable_graphone=False). "
                          "Aborting!")
@@ -496,7 +507,7 @@ def train_egopack(cfg) -> Dict[str, Any]:
         n_steps = 0
         # (run key, epoch, step index) schedule — see train_mtl
         epoch_key = jax.random.fold_in(jax.random.fold_in(rng, 1), epoch)
-        put = lambda tup: {t: pmesh.shard_batch(_device_batch(b), mesh)
+        put = lambda tup: {t: mh.put_batch(b, mesh)
                            for t, b in zip(TASKS, tup) if t in active}
         pending = []
         for batches in device_prefetch(iter(ml), put):
@@ -553,7 +564,7 @@ def train_egopack(cfg) -> Dict[str, Any]:
     result = {"params": params, "banks": banks, "system": system,
               "dsets": dsets, "graphone": graphone,
               "val_metrics": val_metrics, "run_dir": run_logger.dir}
-    if cfg.save_model:
+    if cfg.save_model and jax.process_index() == 0:
         payload = {k: params[k] for k in params}
         # the reference persists graphone.state_dict() — which includes the
         # frozen prototype Embedding weights — in the phase-2 artifact

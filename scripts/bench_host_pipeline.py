@@ -1,0 +1,124 @@
+"""Host data-pipeline throughput at Ego4D scale (VERDICT round-1 item 7).
+
+Generates a large synthetic feature store (default ~12 GB: 350 videos x 2000
+actions, 1536-d float32 rows — same order as the real Ego4D Omnivore store)
+and measures loader throughput per task and through the MultiLoader, against
+the ~3.3k samples/s/chip the TPU step consumes at the reference batch size.
+
+The per-sample hot path is the same as production: annotation-window math +
+(native, multithreaded) memmap row gather + dense collation + prefetch thread.
+
+Usage: python scripts/bench_host_pipeline.py [--root /tmp/egoscale]
+       [--videos 350] [--actions 2000] [--dim 1536] [--batches 200]
+Prints one JSON line per measurement.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import os.path as osp
+import sys
+import time
+
+import numpy as np
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+REQUIRED_SAMPLES_PER_SEC = 3300  # SURVEY §3.5: feed rate for 1 chip @ batch 16
+
+
+def generate(root: str, videos: int, actions: int, dim: int) -> None:
+    from egopack_tpu.data.synthetic import generate_ego4d_fixture
+    t0 = time.perf_counter()
+    generate_ego4d_fixture(root, feature_dim=dim, n_videos=videos,
+                           actions_per_clip=actions, n_verbs=115, n_nouns=478,
+                           n_oscc=40000, splits=("train",))
+    feat_dir = osp.join(root, "processed", "features", "omnivore_video_swinl")
+    size = sum(osp.getsize(osp.join(feat_dir, f)) for f in os.listdir(feat_dir))
+    print(json.dumps({"metric": "store_generated", "gb": round(size / 1e9, 2),
+                      "videos": videos, "actions_per_video": actions,
+                      "gen_seconds": round(time.perf_counter() - t0, 1)}),
+          flush=True)
+
+
+def bench_loader(name: str, loader, n_batches: int, batch_size: int) -> dict:
+    it = iter(loader)
+    next(it)  # warm the prefetch thread + memmap headers
+    t0 = time.perf_counter()
+    done = 0
+    for b in it:
+        done += 1
+        if done >= n_batches:
+            break
+    dt = time.perf_counter() - t0
+    rate = done * batch_size / dt
+    return {"metric": f"loader_{name}_samples_per_sec",
+            "value": round(rate, 1), "batches": done,
+            "required": REQUIRED_SAMPLES_PER_SEC,
+            "vs_required": round(rate / REQUIRED_SAMPLES_PER_SEC, 2)}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/egoscale/ego4d")
+    ap.add_argument("--videos", type=int, default=350)
+    ap.add_argument("--actions", type=int, default=2000)
+    ap.add_argument("--dim", type=int, default=1536)
+    ap.add_argument("--batches", type=int, default=200)
+    ap.add_argument("--batch-size", type=int, default=16)
+    args = ap.parse_args()
+
+    if not osp.exists(osp.join(args.root, "raw", "annotations", "v1",
+                               "fho_lta_train.json")):
+        generate(args.root, args.videos, args.actions, args.dim)
+
+    from egopack_tpu.config import compose, default_config_dir, instantiate
+    from egopack_tpu.data.loader import MultiLoader, build_dataloader
+    from egopack_tpu.io.native import default_io_threads, get_lib
+
+    print(json.dumps({"metric": "io_config",
+                      "native_lib": bool(get_lib()),
+                      "io_threads": default_io_threads()}), flush=True)
+
+    cfg = compose(default_config_dir(), "defaults", overrides=[
+        f"dataset_recognition.root={args.root}",
+        f"dataset_oscc.root={args.root}",
+        f"dataset_lta.root={args.root}",
+        f"dataset_pnr.root={args.root}",
+    ])
+    dsets = {"ar": cfg.dataset_recognition, "oscc": cfg.dataset_oscc,
+             "lta": cfg.dataset_lta, "pnr": cfg.dataset_pnr}
+    loaders = {}
+    for name, dcfg in dsets.items():
+        ds = instantiate(dcfg, split="train")
+        loaders[name] = build_dataloader(ds, args.batch_size, True, 2, True,
+                                         seed=0)
+        print(json.dumps({"metric": f"dataset_{name}_len", "value": len(ds)}),
+              flush=True)
+    for name, loader in loaders.items():
+        print(json.dumps(bench_loader(name, loader, args.batches,
+                                      args.batch_size)), flush=True)
+
+    ml = MultiLoader(list(loaders.values()), [1.0] * len(loaders))
+    it = iter(ml)
+    next(it)
+    t0 = time.perf_counter()
+    done = 0
+    for tup in it:
+        done += 1
+        if done >= args.batches:
+            break
+    dt = time.perf_counter() - t0
+    rate = done * args.batch_size * len(loaders) / dt
+    print(json.dumps({"metric": "multiloader_samples_per_sec",
+                      "value": round(rate, 1),
+                      "required": REQUIRED_SAMPLES_PER_SEC,
+                      "vs_required": round(rate / REQUIRED_SAMPLES_PER_SEC,
+                                           2)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

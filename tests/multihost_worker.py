@@ -1,0 +1,84 @@
+"""Worker for the real 2-process jax.distributed test (test_multihost.py).
+
+Each process: initialize the distributed runtime over localhost, build a
+4-device global mesh (2 virtual CPU devices per process), load ITS shard of
+the same global batch schedule, run one fused train step, print the loss and
+a parameter checksum. The parent asserts both processes agree with each other
+and with a single-process control run of the identical global batch.
+"""
+
+import json
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags +
+                               " --xla_force_host_platform_device_count=2").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def main() -> None:
+    coord, n_proc, pid, root = (sys.argv[1], int(sys.argv[2]),
+                                int(sys.argv[3]), sys.argv[4])
+    if coord != "single":
+        jax.distributed.initialize(coord, n_proc, pid)
+        assert jax.process_count() == n_proc
+    assert len(jax.devices()) == 2 * n_proc
+
+    import numpy as np  # noqa: E402
+
+    from egopack_tpu.config import compose, default_config_dir, instantiate
+    from egopack_tpu.data.loader import build_dataloader
+    from egopack_tpu.models.heads import RecognitionTask
+    from egopack_tpu.models.backbone import TemporalGraph
+    from egopack_tpu.parallel import mesh as pmesh
+    from egopack_tpu.parallel import multihost as mh
+    from egopack_tpu.train import optim as topt
+    from egopack_tpu.train.system import MultiTaskSystem, TaskSetup
+    from egopack_tpu.data import graphs as G
+
+    cfg = compose(default_config_dir(), "defaults",
+                  overrides=[f"dataset_recognition.root={root}"])
+    ds = instantiate(cfg.dataset_recognition, split="train")
+
+    mesh = pmesh.make_mesh(2 * n_proc, 1)
+    hidden = 16
+    backbone = TemporalGraph(input_size=ds.features_size, hidden_size=hidden,
+                             depth=2, temporal_pooling={
+                                 "_target_": "egopack_tpu.models.pooling.TRNPooling",
+                                 "hidden_size": 16, "dropout": 0.0},
+                             num_segments=3)
+    head = RecognitionTask(name_="ar", input_size=hidden, features_size=hidden,
+                           heads=ds.num_class_labels)
+    system = MultiTaskSystem(backbone,
+                             {"ar": TaskSetup("ar", head, G.ar_spec(), 1.0)})
+    params = system.init_params(jax.random.PRNGKey(0), ds.features_size)
+    params = pmesh.place_params(params, mesh)
+    opt = topt.adam(1e-3, 0.0)
+    opt_state = topt.init_opt_state(opt, params, mesh)
+    step = system.make_train_step(opt, ("ar",))
+
+    loader = build_dataloader(ds, 8, True, 0, True, seed=7,
+                              process_shard=mh.process_shard())
+    batch = next(iter(loader))
+    batches = {"ar": mh.put_batch(batch, mesh)}
+    params, opt_state, logs = step(params, opt_state, batches,
+                                   jax.random.PRNGKey(1), 1e-3)
+    jax.block_until_ready(params)
+
+    # replicated outputs: identical on every process
+    loss = float(logs["ar_loss"])
+    checksum = float(sum(
+        np.abs(np.asarray(jax.device_get(l))).sum()
+        for l in jax.tree_util.tree_leaves(params)))
+    print(json.dumps({"pid": pid, "loss": loss, "checksum": checksum}),
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
