@@ -50,11 +50,17 @@ def main():
 
     mesh = pmesh.make_mesh(len(jax.devices()), 1)
     params = pmesh.place_params(params, mesh)
-    optimizer = topt.adam(1e-5, 1e-5)
+    # production optimizer config: the driver's trainable mask (backbone +
+    # the three active heads; the left-out OSCC head is outside the loss
+    # graph, torch grad=None semantics)
+    from egopack_tpu.train.driver import CKPT_KEYS, trainable_mask_fn
+    mask = trainable_mask_fn(["temporal_graph"]
+                             + [CKPT_KEYS[t] for t in ACTIVE])
+    optimizer = topt.adam(1e-5, 1e-5, trainable_mask=mask)
     opt_state = topt.init_opt_state(optimizer, params, mesh)
     # production dispatch config: steps_per_call optimizer steps fused into
-    # one device call (numerics identical to separate dispatches)
-    spc = int(os.environ.get("BENCH_STEPS_PER_CALL", "4"))
+    # one device call (per-step rng keys identical to separate dispatches)
+    spc = int(os.environ.get("BENCH_STEPS_PER_CALL", "8"))
     step = system.make_train_step_multi(optimizer, ACTIVE, spc)
 
     def make_group(seed):
@@ -65,12 +71,25 @@ def main():
 
     batch_list = tuple(make_group(s) for s in range(spc))
 
+    def sync(logs):
+        """Force TRUE device completion by fetching a value to host.
+
+        CRITICAL (round-2 finding): on this image's remote 'axon' TPU
+        platform, ``jax.block_until_ready`` returns once the call is
+        ENQUEUED server-side, not when it has executed — timing with it
+        overstates throughput by up to ~35x. Fetching a scalar from the
+        last step's outputs is the only sync that reflects execution.
+        Round-1 numbers in BASELINE.md measured with block_until_ready are
+        superseded by the corrected table there."""
+        import numpy as np
+        return float(np.asarray(jax.tree_util.tree_leaves(logs)[0]).ravel()[-1])
+
     rng = jax.random.PRNGKey(1)
     for i in range(WARMUP):
         params, opt_state, logs = step(params, opt_state, batch_list,
                                        jax.random.fold_in(rng, i), i * spc,
                                        1e-5)
-    jax.block_until_ready(params)
+    sync(logs)
 
     # several timed windows; report the median window — the dev chip sits
     # behind a shared network tunnel whose latency varies run to run
@@ -81,7 +100,7 @@ def main():
             params, opt_state, logs = step(params, opt_state, batch_list,
                                            jax.random.fold_in(rng, w * 1000 + i),
                                            i * spc, 1e-5)
-        jax.block_until_ready(params)
+        sync(logs)
         windows.append(time.perf_counter() - t0)
     elapsed = sorted(windows)[len(windows) // 2]
 
