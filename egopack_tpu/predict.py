@@ -48,14 +48,29 @@ def predict_lta(cfg, output: str = "lta_predictions.json") -> Dict[str, dict]:
     backbone = _inst(cfg.model, _recursive_=False,
                      input_size=dset.features_size,
                      num_segments=cfg.dataset_lta.num_segments)
+
+    loaded, meta = load_artifact(cfg.artifact_dir, cfg.resume_from)
+    loaded.pop("epoch", None)
+    bank_vals = loaded.pop("graphone_banks", None)
+    bank_masks = loaded.pop("graphone_bank_masks", None)
+    gparams = loaded.pop("graphone", None)
+    phase2 = gparams is not None
+
+    # phase-2 artifacts carry aux classifiers on the LTA head + the
+    # prototype banks (reference main_egopack.py:453-459); rebuild them so
+    # challenge predictions come from the full EgoPack model
+    aux_tasks = tuple(meta.get("aux_tasks") or
+                      (sorted(bank_vals) if bank_vals else ()))
+    lta_aux = tuple(t for t in aux_tasks if t != "lta") if phase2 else None
     heads = {
         "ar": RecognitionTask(name_="ar", input_size=hidden,
                               features_size=hidden,
                               heads=dset.num_class_labels),
         "oscc": OSCCTask(name_="oscc", input_size=hidden,
-                         features_size=cfg.oscc_feat_size),
+                         features_size=(hidden if phase2
+                                        else cfg.oscc_feat_size)),
         "lta": LTATask(name_="lta", input_size=hidden, features_size=hidden,
-                       heads=dset.num_class_labels),
+                       heads=dset.num_class_labels, aux_tasks=lta_aux),
         "pnr": PNRTask(name_="pnr", input_size=hidden, features_size=hidden),
     }
     from .data.graphs import ar_spec, oscc_spec, pnr_spec
@@ -65,13 +80,32 @@ def predict_lta(cfg, output: str = "lta_predictions.json") -> Dict[str, dict]:
         backbone, {n: TaskSetup(n, heads[n], specs[n]) for n in heads})
     params = system.init_params(jax.random.PRNGKey(cfg.seed),
                                 dset.features_size)
-    loaded, _ = load_artifact(cfg.artifact_dir, cfg.resume_from)
-    loaded.pop("epoch", None)
     params = merge_loaded_params(params, loaded)
+
+    banks = {}
+    graphone = None
+    if phase2:
+        from .config import to_container
+        from .models.graphone import GraphONE, PrototypeBank
+        import jax.numpy as jnp
+        banks = {t: PrototypeBank(jnp.asarray(bank_vals[t]),
+                                  jnp.asarray(bank_masks[t]))
+                 for t in bank_vals}
+        gcfg = dict(meta.get("graphone") or to_container(cfg.graphone))
+        graphone = GraphONE(task_labels=aux_tasks, features_size=hidden,
+                            **gcfg)
+        params["graphone"] = gparams
+        if not gcfg.get("freeze", True):
+            params["graphone_banks"] = {t: jnp.asarray(v)
+                                        for t, v in bank_vals.items()}
+        logger.info("EgoPack artifact: predicting with %s-bank interaction",
+                    "/".join(lta_aux))
 
     loader = build_dataloader(dset, cfg.batch_size, False, cfg.num_workers,
                               False, seed=cfg.seed)
-    eval_step = system.make_eval_step("lta")
+    eval_step = system.make_eval_step(
+        "lta", aux=lta_aux or (), graphone=graphone,
+        late_fusion=bool(meta.get("late_fusion", cfg.late_fusion)))
     lta_head = system.tasks["lta"].head
 
     @jax.jit
@@ -82,7 +116,7 @@ def predict_lta(cfg, output: str = "lta_predictions.json") -> Dict[str, dict]:
     predictions: Dict[str, dict] = {}
     rng = jax.random.PRNGKey(cfg.seed)
     for i, batch in enumerate(loader):
-        logits, _, _, _ = eval_step(params, _device_batch(batch), {})
+        logits, _, _, _ = eval_step(params, _device_batch(batch), banks)
         preds, _ = sample(logits, jax.random.fold_in(rng, i))
         verbs = np.asarray(preds[0])  # (B, N, K)
         nouns = np.asarray(preds[1])

@@ -204,3 +204,31 @@ def test_mtl_artifact_cold_reload_matches_in_memory(mtl_run):
         assert abs(cold["ar"][key] - in_memory["ar"][key]) < 1e-4, key
     assert abs(cold["pnr"]["localization_error"]
                - in_memory["pnr"]["localization_error"]) < 1e-4
+
+
+def test_predict_lta_from_egopack_artifact(mtl_run):
+    """Challenge predictions from a PHASE-2 artifact run the full EgoPack
+    model: aux classifiers + prototype-bank interaction reconstructed from
+    the artifact alone (the paper's headline LTA configuration)."""
+    import json
+    from egopack_tpu.predict import main as predict_main
+
+    _, tmp, root = mtl_run
+    result = main_egopack.main(_mtl_overrides(root, tmp, [
+        "enabled_tasks=[lta]", "enable_graphone=True",
+        "resume_from=MTL_ar-lta-pnr", "graphone.k=2", "graphone.depth=1",
+        "graphone.hidden_size=32", "num_epochs=1", "optimizer.lr=1e-4",
+        "backprop_temporal_graph=False", "save_model=True",
+    ]))
+    assert result["artifact"] == "MTL_lta"
+
+    out = osp.join(tmp, "lta_egopack_predictions.json")
+    predict_main(_mtl_overrides(root, tmp, [
+        "resume_from=MTL_lta",
+        "validation_split=test_unannotated",
+        f"output={out}",
+    ]))
+    preds = json.load(open(out))
+    assert len(preds) > 0
+    first = next(iter(preds.values()))
+    assert len(first["verb"]) == 5 and len(first["verb"][0]) == 20
