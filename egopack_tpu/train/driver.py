@@ -137,6 +137,15 @@ def build_system(cfg, dsets, phase2: bool = False) -> MultiTaskSystem:
     return MultiTaskSystem(backbone, tasks, compute_dtype=dtype)
 
 
+def _transfer_dtype(system):
+    """Host-side transfer dtype for the feature tensor: bf16 when the system
+    computes in bf16 (value-identical to the device-side cast)."""
+    if system.compute_dtype == jnp.bfloat16:
+        import ml_dtypes
+        return ml_dtypes.bfloat16
+    return None
+
+
 def _epoch_multiloader(dsets, weights) -> MultiLoader:
     return MultiLoader([dsets[t]["dl_train"] for t in TASKS],
                        [weights[t] for t in TASKS])
@@ -145,6 +154,7 @@ def _epoch_multiloader(dsets, weights) -> MultiLoader:
 def _run_validation(cfg, system, params, banks, dsets, task_weights, epoch,
                     run_logger, eval_steps, sample_fn, rng,
                     force_all: bool = False, mesh=None):
+    x_dtype = _transfer_dtype(system)
     """Shared validation block (both mains; main_temporal.py:345-404).
 
     Returns ``{task: meter.get_logs()}`` for the validated tasks. When a mesh
@@ -152,7 +162,8 @@ def _run_validation(cfg, system, params, banks, dsets, task_weights, epoch,
     (the val loader pads every batch to a constant batch_size, so shapes stay
     divisible)."""
     replicated = jax.process_count() > 1
-    put = ((lambda b: mh.put_batch(b, mesh, replicated=replicated))
+    put = ((lambda b: mh.put_batch(b, mesh, replicated=replicated,
+                                   x_dtype=x_dtype))
            if mesh is not None else None)
     metrics: Dict[str, Dict[str, Any]] = {}
     for name in TASKS:
@@ -277,6 +288,7 @@ def train_mtl(cfg) -> Dict[str, Any]:
             logger.info("Resumed full state from epoch %d", last)
 
     profiling = bool(cfg.profile_dir)
+    x_dtype = _transfer_dtype(system)
     val_metrics: Dict[str, Any] = {}
     for epoch in range(start_epoch, cfg.num_epochs + 1):
         t0 = time.time()
@@ -289,7 +301,7 @@ def train_mtl(cfg) -> Dict[str, Any]:
         # per-step keys derive from (run key, epoch, step index) — bitwise
         # identical across steps_per_call settings and across mid-run resume
         epoch_key = jax.random.fold_in(jax.random.fold_in(rng, 1), epoch)
-        put = lambda tup: {t: mh.put_batch(b, mesh)
+        put = lambda tup: {t: mh.put_batch(b, mesh, x_dtype=x_dtype)
                            for t, b in zip(TASKS, tup) if t in active}
         pending = []
         for batches in device_prefetch(iter(ml), put):
@@ -496,6 +508,7 @@ def train_egopack(cfg) -> Dict[str, Any]:
             start_epoch = last + 1
             logger.info("Resumed full state from epoch %d", last)
 
+    x_dtype = _transfer_dtype(system)
     val_metrics: Dict[str, Any] = {}
     for epoch in range(start_epoch, cfg.num_epochs + 1):
         t0 = time.time()
@@ -507,7 +520,7 @@ def train_egopack(cfg) -> Dict[str, Any]:
         n_steps = 0
         # (run key, epoch, step index) schedule — see train_mtl
         epoch_key = jax.random.fold_in(jax.random.fold_in(rng, 1), epoch)
-        put = lambda tup: {t: mh.put_batch(b, mesh)
+        put = lambda tup: {t: mh.put_batch(b, mesh, x_dtype=x_dtype)
                            for t, b in zip(TASKS, tup) if t in active}
         pending = []
         for batches in device_prefetch(iter(ml), put):

@@ -58,15 +58,30 @@ class RunLogger:
         if config is not None:
             with open(osp.join(self.dir, "config.json"), "w") as f:
                 json.dump(config, f, indent=2, default=str)
+        # opt-in wandb passthrough (EGOPACK_WANDB=1 + wandb installed):
+        # restores the reference's live dashboards without coupling to them
+        self._wandb = None
+        if os.environ.get("EGOPACK_WANDB") == "1":
+            try:
+                import wandb
+                self._wandb = wandb.init(
+                    project=os.environ.get("WANDB_PROJECT", "egopack_tpu"),
+                    name=self.run_name, config=config, dir=self.dir)
+            except Exception as e:  # offline-first: never fail the run
+                logger.warning("wandb passthrough unavailable: %s", e)
 
     def log(self, metrics: Dict[str, Any], step: Optional[int] = None) -> None:
         record = {"step": step, "time": time.time()}
         record.update({k: _scalar(v) for k, v in metrics.items()})
         self._f.write(json.dumps(record, default=str) + "\n")
         self._f.flush()
+        if self._wandb is not None:
+            self._wandb.log(metrics, step=step)
 
     def close(self) -> None:
         self._f.close()
+        if self._wandb is not None:
+            self._wandb.finish()
 
 
 def _scalar(v):

@@ -34,3 +34,35 @@ def test_bf16_losses_close_to_f32():
     for k in losses["float32"]:
         assert losses["bfloat16"][k] == pytest.approx(
             losses["float32"][k], rel=0.05), (k, losses)
+
+
+def test_host_bf16_transfer_matches_device_cast():
+    """Casting x to bf16 on the HOST before transfer (halves H2D bytes) is
+    bitwise identical to shipping f32 and letting the device cast — both are
+    one round-to-nearest-even f32->bf16 conversion."""
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+    import numpy as np
+
+    import __graft_entry__ as ge
+
+    feat_dim, hidden = 16, 16
+    system = ge._build_system(hidden, 16, feat_dim)
+    system.compute_dtype = jnp.bfloat16
+    params = system.init_params(jax.random.PRNGKey(0), feat_dim)
+    batch = ge._synthetic_batches(system, 4, feat_dim, seed=1)["ar"]
+    f32 = {k: np.asarray(v) for k, v in batch.items()}
+    host_cast = dict(f32)
+    host_cast["x"] = f32["x"].astype(ml_dtypes.bfloat16)
+
+    @jax.jit
+    def fwd(params, b):
+        feat, _ = system.backbone_features(params, b, "ar", train=False,
+                                           rng=None)
+        return feat
+
+    a = np.asarray(fwd(params, {k: jnp.asarray(v) for k, v in f32.items()}))
+    b = np.asarray(fwd(params, {k: jnp.asarray(v)
+                                for k, v in host_cast.items()}))
+    np.testing.assert_array_equal(a, b)
