@@ -137,6 +137,17 @@ def build_system(cfg, dsets, phase2: bool = False) -> MultiTaskSystem:
     return MultiTaskSystem(backbone, tasks, compute_dtype=dtype)
 
 
+def _setup_compilation_cache(cfg) -> None:
+    """Persistent XLA compilation cache (new capability vs the reference):
+    the fused multi-task program costs ~30-40s to compile; with
+    ``compilation_cache_dir`` set, every later process start reuses it."""
+    cache = cfg.get("compilation_cache_dir", None)
+    if cache:
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        logger.info("Persistent compilation cache at %s", cache)
+
+
 def _transfer_dtype(system):
     """Host-side transfer dtype for the feature tensor: bf16 when the system
     computes in bf16 (value-identical to the device-side cast)."""
@@ -224,6 +235,7 @@ def _emit_plots(cfg, run_logger, meter, name: str, epoch: int) -> None:
 def train_mtl(cfg) -> Dict[str, Any]:
     """Phase-1 multi-task pretraining (main_temporal.py)."""
     setup_logging()
+    _setup_compilation_cache(cfg)
     if bool(cfg.parallel.get("multihost", False)):
         mh.initialize()
     run_logger = RunLogger(cfg.output_dir,
@@ -304,9 +316,11 @@ def train_mtl(cfg) -> Dict[str, Any]:
         put = lambda tup: {t: mh.put_batch(b, mesh, x_dtype=x_dtype)
                            for t, b in zip(TASKS, tup) if t in active}
         pending = []
+        trace_on = False
         for batches in device_prefetch(iter(ml), put):
-            if profiling and n_steps == 1:  # skip the compile step
+            if profiling and not trace_on and n_steps >= 1:  # skip compile
                 jax.profiler.start_trace(cfg.profile_dir)
+                trace_on = True
             if multi_fn is not None:
                 pending.append(batches)
                 if len(pending) < spc:
@@ -325,11 +339,16 @@ def train_mtl(cfg) -> Dict[str, Any]:
                 losses[t].append(logs[f"{t}_loss"])
             for k in norms:
                 norms[k].append(logs[k])
-            if profiling and n_steps >= 6:
+            if trace_on and n_steps >= 1 + max(spc, 4):
                 jax.block_until_ready(params)
                 jax.profiler.stop_trace()
-                profiling = False
+                profiling = trace_on = False
                 logger.info("Wrote profiler trace to %s", cfg.profile_dir)
+        if trace_on:  # short epoch: close the trace before the tail flush
+            jax.block_until_ready(params)
+            jax.profiler.stop_trace()
+            profiling = trace_on = False
+            logger.info("Wrote profiler trace to %s", cfg.profile_dir)
         # flush the tail (fewer than steps_per_call batches) one by one
         for batches in pending:
             params, opt_state, logs = step_fn(
@@ -386,6 +405,7 @@ def train_mtl(cfg) -> Dict[str, Any]:
 def train_egopack(cfg) -> Dict[str, Any]:
     """Phase-2 EgoPack novel-task training (main_egopack.py)."""
     setup_logging()
+    _setup_compilation_cache(cfg)
     if bool(cfg.parallel.get("multihost", False)):
         mh.initialize()
     if not cfg.enable_graphone:

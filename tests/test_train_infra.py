@@ -180,3 +180,21 @@ def test_observability_outputs(ego4d_root, tmp_path):
     assert feats, "feature embeddings not emitted"
     npz = np.load(feats[0])
     assert npz["post"].shape[1] == 2
+
+
+def test_compilation_cache_and_profiler_outputs(ego4d_root, tmp_path):
+    """Two new-capability knobs actually produce their artifacts: the
+    persistent XLA compilation cache fills, and jax.profiler writes a trace
+    (SURVEY §5 tracing row)."""
+    import glob
+    import os
+
+    cache = str(tmp_path / "xla_cache")
+    profile = str(tmp_path / "trace")
+    main_temporal.main(_mtl_overrides(ego4d_root, str(tmp_path), [
+        "enabled_tasks=[oscc]", "num_epochs=1", "save_model=False",
+        f"compilation_cache_dir={cache}", f"profile_dir={profile}",
+    ]))
+    assert os.path.isdir(cache) and len(os.listdir(cache)) > 0
+    assert glob.glob(profile + "/**/*.xplane.pb", recursive=True), \
+        "profiler trace not written"
