@@ -101,8 +101,9 @@ class Ego4dFHODataset(BaseDataset):
     def _clip_windows(self, actions, lta_start_rule: bool = False):
         """Per-clip ``(a_start, size)`` int64 arrays for a sorted action list.
 
-        Same math as ``_clip_features`` (AR rule reference :230, LTA rule
-        :369), hoisted to dataset init so ``get()`` does ONE vectorized
+        AR start rule: ``start_frame // stride`` (reference :230); LTA start
+        rule: ``max(1, start_frame // stride) - 1`` (reference :369); both end
+        at ``min(len - 1, end_frame // stride)``. Hoisted to dataset init so ``get()`` does ONE vectorized
         sampler + ONE native gather per sample instead of one per action —
         the per-action Python dispatch was the host bottleneck at Ego4D
         scale (scripts/bench_host_pipeline.py)."""
@@ -127,37 +128,6 @@ class Ego4dFHODataset(BaseDataset):
         flat = np.where(sizes[:, None] > 0, idx + starts[:, None], -1)
         out = native.gather_rows(feats, flat.reshape(-1))
         return out.reshape(len(starts), self.num_segments, feats.shape[1])
-
-    # --- feature gather shared by AR/LTA ---
-    def _clip_features(self, video_uid: str, start_frame: int, end_frame: int,
-                       rng: Optional[np.random.Generator],
-                       lta_start_rule: bool = False) -> np.ndarray:
-        """Sample ``num_segments`` feature rows for one action clip.
-
-        AR start rule: ``start_frame // stride`` (reference :230); LTA start
-        rule: ``max(1, start_frame // stride) - 1`` (reference :369). Both end
-        at ``min(len - 1, end_frame // stride)``. Any failure (empty window)
-        yields zeros — the reference's silent-corruption guard (:238-239),
-        logged here instead of swallowed blindly.
-        """
-        feats = self._store[video_uid]
-        if lta_start_rule:
-            a_start = max(1, start_frame // self.stride) - 1
-        else:
-            a_start = start_frame // self.stride
-        a_end = min(feats.shape[0] - 1, end_frame // self.stride)
-        size = a_end - a_start
-        if size <= 0:
-            # reference zero-guard: sampling an empty window raises → zeros
-            # (data/ego4d_fho.py:238-239)
-            logger.debug("Empty feature window for %s [%d, %d); zero-filling",
-                         video_uid, a_start, a_end)
-            return np.zeros((self.num_segments, feats.shape[1]), np.float32)
-        if self.split == "train" and rng is not None:
-            idx = sampling.random_sampling_indices(size, self.num_segments, rng)
-        else:
-            idx = sampling.uniform_sampling_indices(size, self.num_segments)
-        return native.gather_rows(feats, idx + a_start)
 
 
 class Ego4dRecognitionDataset(Ego4dFHODataset):

@@ -87,10 +87,13 @@ def gather_rows(src: np.ndarray, idx: np.ndarray,
     """out[i] = src[clamp(idx[i])]; negative index → zero row.
 
     src must be float32 C-contiguous (memmaps from the feature store are).
-    ``n_threads=None`` resolves via :func:`default_io_threads`.
+    ``n_threads=None`` resolves via :func:`default_io_threads` for large
+    gathers; small per-sample gathers (the dataset hot path moves 37-166 KB)
+    stay single-threaded — thread create/join would dwarf the memcpy.
     """
     if n_threads is None:
-        n_threads = default_io_threads()
+        n_threads = (default_io_threads()
+                     if idx.size * src.shape[1] * 4 >= (1 << 20) else 1)
     lib = get_lib()
     idx = np.ascontiguousarray(idx, np.int64)
     n, dim = len(idx), src.shape[1]

@@ -55,6 +55,9 @@ def predict_lta(cfg, output: str = "lta_predictions.json") -> Dict[str, dict]:
     bank_masks = loaded.pop("graphone_bank_masks", None)
     gparams = loaded.pop("graphone", None)
     phase2 = gparams is not None
+    assert not phase2 or (bank_vals is not None and bank_masks is not None), (
+        "EgoPack artifact lacks prototype banks; it predates the complete "
+        "phase-2 artifact format and cannot be used for prediction")
 
     # phase-2 artifacts carry aux classifiers on the LTA head + the
     # prototype banks (reference main_egopack.py:453-459); rebuild them so

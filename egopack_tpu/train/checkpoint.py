@@ -25,8 +25,19 @@ import numpy as np
 from flax import serialization
 
 
+def _host_value(x):
+    """Fetch one array to host, gathering shards that span processes first
+    (multi-host TP: pooling fc0/fc1 and prototype banks shard on the model
+    axis; plain np.asarray would raise on non-addressable arrays)."""
+    if jax.process_count() > 1 and hasattr(x, "sharding") \
+            and not getattr(x, "is_fully_addressable", True):
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def _to_numpy(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    return jax.tree_util.tree_map(_host_value, tree)
 
 
 def save_artifact(artifact_dir: str, name: str, payload: Dict[str, Any],

@@ -29,7 +29,8 @@ from ..train.checkpoint import (latest_state, load_artifact,
                                 merge_loaded_params, restore_state,
                                 save_artifact, save_state)
 from ..train.system import CKPT_KEYS, MultiTaskSystem, TaskSetup
-from ..utils.logging import RunLogger, format_run_name, setup_logging
+from ..utils.logging import (NullLogger, RunLogger, format_run_name,
+                             setup_logging)
 
 logger = logging.getLogger(__name__)
 
@@ -137,6 +138,18 @@ def build_system(cfg, dsets, phase2: bool = False) -> MultiTaskSystem:
     return MultiTaskSystem(backbone, tasks, compute_dtype=dtype)
 
 
+def make_run_logger(cfg):
+    """RunLogger on process 0; a no-op logger elsewhere (multi-host processes
+    compute replicated metrics — writing them N times would interleave
+    duplicate records into one metrics.jsonl)."""
+    if jax.process_index() != 0:
+        return NullLogger()
+    return RunLogger(cfg.output_dir,
+                     format_run_name(cfg.wandb_name_pattern,
+                                     to_container(cfg)),
+                     to_container(cfg))
+
+
 def _setup_compilation_cache(cfg) -> None:
     """Persistent XLA compilation cache (new capability vs the reference):
     the fused multi-task program costs ~30-40s to compile; with
@@ -165,13 +178,13 @@ def _epoch_multiloader(dsets, weights) -> MultiLoader:
 def _run_validation(cfg, system, params, banks, dsets, task_weights, epoch,
                     run_logger, eval_steps, sample_fn, rng,
                     force_all: bool = False, mesh=None):
-    x_dtype = _transfer_dtype(system)
     """Shared validation block (both mains; main_temporal.py:345-404).
 
     Returns ``{task: meter.get_logs()}`` for the validated tasks. When a mesh
     is given, eval batches shard on the data axis like the train batches
     (the val loader pads every batch to a constant batch_size, so shapes stay
     divisible)."""
+    x_dtype = _transfer_dtype(system)
     replicated = jax.process_count() > 1
     put = ((lambda b: mh.put_batch(b, mesh, replicated=replicated,
                                    x_dtype=x_dtype))
@@ -213,6 +226,8 @@ def _emit_plots(cfg, run_logger, meter, name: str, epoch: int) -> None:
     in the run directory."""
     import json
     import os.path as osp
+    if isinstance(run_logger, NullLogger):
+        return
     if getattr(meter, "log_confusion", False):
         tables = {which: meter.confusion_tables(which)
                   for which in ("verbs", "nouns")}
@@ -238,10 +253,7 @@ def train_mtl(cfg) -> Dict[str, Any]:
     _setup_compilation_cache(cfg)
     if bool(cfg.parallel.get("multihost", False)):
         mh.initialize()
-    run_logger = RunLogger(cfg.output_dir,
-                           format_run_name(cfg.wandb_name_pattern,
-                                           to_container(cfg)),
-                           to_container(cfg))
+    run_logger = make_run_logger(cfg)
     rng = jax.random.PRNGKey(cfg.seed if cfg.seed > 0 else 0)
 
     task_weights = task_weights_from_cfg(cfg)
@@ -411,10 +423,7 @@ def train_egopack(cfg) -> Dict[str, Any]:
     if not cfg.enable_graphone:
         raise SystemExit("Invalid configuration (enable_graphone=False). "
                          "Aborting!")
-    run_logger = RunLogger(cfg.output_dir,
-                           format_run_name(cfg.wandb_name_pattern,
-                                           to_container(cfg)),
-                           to_container(cfg))
+    run_logger = make_run_logger(cfg)
     rng = jax.random.PRNGKey(cfg.seed if cfg.seed > 0 else 0)
 
     task_weights = task_weights_from_cfg(cfg)
@@ -604,10 +613,11 @@ def train_egopack(cfg) -> Dict[str, Any]:
         # (/root/reference/main_egopack.py:453-459); banks + validity masks
         # complete the artifact so it can be evaluated cold
         # (egopack_tpu.evaluate) without re-sweeping the AR train set
+        from .checkpoint import _host_value
         eff = params.get("graphone_banks",
                          {t: b.values for t, b in banks.items()})
-        payload["graphone_banks"] = {t: np.asarray(v) for t, v in eff.items()}
-        payload["graphone_bank_masks"] = {t: np.asarray(b.mask)
+        payload["graphone_banks"] = {t: _host_value(v) for t, v in eff.items()}
+        payload["graphone_bank_masks"] = {t: _host_value(b.mask)
                                           for t, b in banks.items()}
         name = artifact_name(cfg, task_weights)
         save_artifact(cfg.artifact_dir, name, payload,

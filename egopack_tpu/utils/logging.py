@@ -84,6 +84,18 @@ class RunLogger:
             self._wandb.finish()
 
 
+class NullLogger:
+    """No-op RunLogger stand-in for non-zero multi-host processes."""
+
+    dir = os.devnull
+
+    def log(self, metrics, step=None):
+        pass
+
+    def close(self):
+        pass
+
+
 def _scalar(v):
     try:
         return float(v)

@@ -202,3 +202,34 @@ def test_feature_store_pt_conversion(tmp_path):
     store2 = FeatureStore(str(tmp_path), "omnivore_video_swinl", ["vid_x"],
                           "meta.csv")
     assert store2["vid_x"].shape == (50, 16)
+
+
+def test_batch_sampling_indices_matches_per_row():
+    """The vectorized sampler (host hot path) must reproduce the per-row
+    reference semantics: uniform path bitwise, random path same support and
+    per-row uniform jitter in [0, size//n)."""
+    import numpy as np
+    from egopack_tpu.data import sampling
+
+    sizes = np.array([0, 1, 2, 3, 7, 12, 45, 100])
+    n = 3
+    # uniform: bitwise equal to the per-row function
+    got = sampling.batch_sampling_indices(sizes, n, None)
+    for i, s in enumerate(sizes):
+        want = sampling.uniform_sampling_indices(int(s), n)
+        np.testing.assert_array_equal(got[i], want, err_msg=f"size={s}")
+
+    # random: indices in-range, jitter bounded like the reference's
+    # rng.integers(0, size // n), degenerate sizes follow the linspace path
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        got = sampling.batch_sampling_indices(sizes, n, rng)
+        for i, s in enumerate(sizes):
+            s = int(s)
+            base = np.arange(n) * (s / n)
+            if s // n > 0:
+                assert (got[i] >= np.floor(base)).all()
+                assert (got[i] <= np.round(np.clip(base + s // n - 1 + 0.5,
+                                                   0, s))).all()
+            else:
+                np.testing.assert_array_equal(got[i], base.astype(int))
