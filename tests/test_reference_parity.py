@@ -789,3 +789,70 @@ def test_phase2_egopack_loss_and_gradients_match(ref, proto_setup, backprop):
         np.testing.assert_allclose(bb_jg.T, bb_tg, rtol=2e-4, atol=1e-7)
     else:
         assert np.all(bb_jg == 0) and np.all(bb_tg == 0)
+
+
+@pytest.mark.parametrize("late_fusion", [True, False])
+def test_eval_step_matches_reference_validate(ref, proto_setup, late_fusion):
+    """The eval forward with graphone interaction — late fusion AND the
+    early-fusion max-mix — against the reference validate() composition
+    (/root/reference/validate.py:33-60) executed with the real modules.
+    Checks logits, per-element loss, and the stacked post-features the
+    meters consume."""
+    tmodel, _, _, _, tbanks, _, aux_tasks = proto_setup
+    task_labels = tuple(sorted(aux_tasks))
+
+    torch.manual_seed(51)
+    aux_map = {"oscc": task_labels}
+    theads = build_torch_heads(ref, aux_map)
+    for m in theads.values():
+        m.eval()
+    tgo = ref.graphONE.GraphONE({t: tbanks[t] for t in aux_tasks},
+                                features_size=F, hidden_size=F,
+                                k=4, depth=2, residual=True)
+    tgo.eval()
+
+    system = build_system(aux_map=aux_map)
+    params = port_system(ref, tmodel, theads, system, aux_map)
+    jgo = GraphONE(task_labels=task_labels, features_size=F,
+                   hidden_size=F, k=4, depth=2, residual=True)
+    banks = _pad_banks(tbanks)
+    dummy = {t: jnp.zeros((4, F)) for t in task_labels}
+    gparams = dict(jgo.init(jax.random.PRNGKey(0), dummy, banks,
+                            method="interact")["params"])
+    port_graphone(tgo, jgo, gparams, task_labels)
+    params["graphone"] = gparams
+
+    rng = np.random.default_rng(12)
+    spec = system.tasks["oscc"].spec
+    x, y = make_batch(rng, spec, "oscc")
+
+    # ---- reference composition (validate.py:33-60), real modules
+    data = dense_to_torch(ref, x, y, spec, y_per_graph=True)
+    others = [theads[t] for t in ("ar", "lta", "pnr")]
+    with torch.no_grad():
+        feat = tmodel(data)
+        feat_primary = theads["oscc"].forward_features(feat)
+        feat_secondary = {t.name: t.forward_features(feat) for t in others}
+        inter, _ = tgo.interact(feat_secondary)
+        t_post = torch.stack([feat_primary, *inter.values()], dim=1)
+        if late_fusion:
+            t_logits = theads["oscc"].forward_logits(
+                features=feat_primary, batch=data.batch, aux_features=inter)
+        else:
+            mixed = torch.stack([feat_primary, *inter.values()],
+                                dim=1).max(1).values
+            t_logits = theads["oscc"].forward_logits(mixed, data.batch)
+        t_loss = theads["oscc"].compute_loss(t_logits, data.y)
+
+    # ---- this framework's jitted eval step
+    eval_step = system.make_eval_step("oscc", aux=("ar", "lta", "pnr"),
+                                      graphone=jgo, late_fusion=late_fusion)
+    j_logits, j_per_elem, j_post, _ = eval_step(params, jbatch(x, y), banks)
+
+    np.testing.assert_allclose(np.asarray(j_logits), t_logits.numpy(),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(j_per_elem), t_loss.numpy(),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(j_post).reshape(t_post.shape), t_post.numpy(),
+        rtol=2e-4, atol=1e-5)
