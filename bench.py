@@ -56,7 +56,11 @@ def main():
     from egopack_tpu.train.driver import CKPT_KEYS, trainable_mask_fn
     mask = trainable_mask_fn(["temporal_graph"]
                              + [CKPT_KEYS[t] for t in ACTIVE])
-    optimizer = topt.adam(1e-5, 1e-5, trainable_mask=mask)
+    # BENCH_MOMENTS_DTYPE=bfloat16 measures the opt-in Adam HBM lever
+    # (optimizer.moments_dtype config); float32 = reference-parity numerics
+    optimizer = topt.adam(
+        1e-5, 1e-5, trainable_mask=mask,
+        moments_dtype=os.environ.get("BENCH_MOMENTS_DTYPE", "float32"))
     opt_state = topt.init_opt_state(optimizer, params, mesh)
     # production dispatch config: steps_per_call optimizer steps fused into
     # one device call (per-step rng keys identical to separate dispatches)

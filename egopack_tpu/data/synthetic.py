@@ -114,8 +114,6 @@ def generate_ego4d_fixture(root: str,
                 fho_clips.append(entry)
         with open(osp.join(ann_dir, f"fho_lta_{split}.json"), "w") as f:
             json.dump({"clips": fho_clips}, f)
-        if unannotated:
-            continue  # no OSCC/PNR annotations for test splits
 
         oscc_clips = []
         for i in range(n_oscc):
@@ -124,7 +122,12 @@ def generate_ego4d_fixture(root: str,
             end_sec = start_sec + 8.0
             start_frame = int(start_sec * FPS)
             end_frame = int(end_sec * FPS)
-            if learnable:
+            if unannotated:
+                # real test_unannotated entries carry the frame metadata but
+                # no state_change/parent_pnr_frame labels
+                state_change = None
+                pnr_frame = None
+            elif learnable:
                 # label derivable from the planted state coefficient: positive
                 # iff the coefficient rises across the window
                 coef = state_coefs[uid]
@@ -148,9 +151,10 @@ def generate_ego4d_fixture(root: str,
                 "parent_end_frame": end_frame,
                 "parent_start_sec": start_sec,
                 "parent_end_sec": end_sec,
-                "state_change": state_change,
-                "parent_pnr_frame": pnr_frame,
             }
+            if not unannotated:
+                entry["state_change"] = state_change
+                entry["parent_pnr_frame"] = pnr_frame
             oscc_clips.append(entry)
         with open(osp.join(ann_dir, f"fho_oscc-pnr_{split}.json"), "w") as f:
             json.dump({"clips": oscc_clips}, f)

@@ -106,6 +106,19 @@ class Ego4dRecognitionMeter(BaseMeter):
                                                           n_bins=1, norm="l2")
         return out
 
+    def confusion(self, which: str = "verbs") -> np.ndarray:
+        """Full (C, C) confusion matrix — feeds the heatmap frontend
+        (reference utils/plots.py:7-13 via ego4d.py:134-146)."""
+        if which == "verbs":
+            logits = np.concatenate(self._verb_logits)
+            labels = np.concatenate(self._verb_labels)
+            n = self.n_verbs
+        else:
+            logits = np.concatenate(self._noun_logits)
+            labels = np.concatenate(self._noun_labels)
+            n = self.n_nouns
+        return M.confusion_matrix(logits, labels, n)
+
     def confusion_tables(self, which: str = "verbs", top_n: int = 25):
         """Top-2 confusion table + per-class accuracy/support table (the
         reference's wandb.Tables, ego4d.py:134-203), as plain dicts."""

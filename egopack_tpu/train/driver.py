@@ -235,6 +235,12 @@ def _emit_plots(cfg, run_logger, meter, name: str, epoch: int) -> None:
         with open(path, "w") as f:
             json.dump(tables, f)
         logger.info("Wrote confusion tables to %s", path)
+        # rendered heatmaps (reference utils/plots.py:7-13)
+        from ..utils import plots
+        for which in ("verbs", "nouns"):
+            png = plots.heatmap_path(run_logger.dir, name, which, epoch)
+            if plots.save_confusion_heatmap(meter.confusion(which), png):
+                logger.info("Wrote confusion heatmap to %s", png)
     if meter.save_features:
         arrays = {}
         for which in ("pre", "post"):

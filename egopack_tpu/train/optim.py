@@ -17,9 +17,53 @@ from typing import Callable, Optional
 import optax
 
 
+def _scale_by_adam_lowp(b1: float, b2: float, eps: float,
+                        dtype) -> optax.GradientTransformation:
+    """scale_by_adam with BOTH moments stored in ``dtype`` (e.g. bfloat16).
+
+    Moment updates and the final rescale compute in float32; only the stored
+    state is low-precision. At the reference batch size the train step is
+    bound by Adam's HBM traffic (BASELINE.md decomposition: ~1 ms of the
+    2.2 ms step is 7 f32 passes over ~30M params); bf16 moments cut the
+    moment read+write bytes in half (28 -> 20 bytes/param/step). This is an
+    OPT-IN numerics change — off the torch-parity table, which is why
+    float32 stays the default."""
+    import jax
+    import jax.numpy as jnp
+
+    def init(params):
+        zeros = lambda p: jnp.zeros_like(p, dtype=dtype)  # noqa: E731
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree_util.tree_map(zeros, params),
+            nu=jax.tree_util.tree_map(zeros, params))
+
+    def update(updates, state, params=None):
+        del params
+        f32 = jnp.float32
+        mu = jax.tree_util.tree_map(
+            lambda g, m: (b1 * m.astype(f32) + (1 - b1) * g.astype(f32))
+            .astype(dtype), updates, state.mu)
+        nu = jax.tree_util.tree_map(
+            lambda g, v: (b2 * v.astype(f32)
+                          + (1 - b2) * jnp.square(g.astype(f32)))
+            .astype(dtype), updates, state.nu)
+        count = optax.safe_int32_increment(state.count)
+        bc1 = 1 - b1 ** count.astype(f32)
+        bc2 = 1 - b2 ** count.astype(f32)
+        scaled = jax.tree_util.tree_map(
+            lambda m, v, g: ((m.astype(f32) / bc1)
+                             / (jnp.sqrt(v.astype(f32) / bc2) + eps))
+            .astype(g.dtype), mu, nu, updates)
+        return scaled, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
 def adam(lr: float = 1e-5, weight_decay: float = 0.0,
          b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
-         trainable_mask=None) -> optax.GradientTransformation:
+         trainable_mask=None,
+         moments_dtype: str = "float32") -> optax.GradientTransformation:
     """torch.optim.Adam equivalent (coupled L2 weight decay).
 
     ``trainable_mask``: pytree (or prefix) of bools. torch skips params whose
@@ -27,13 +71,21 @@ def adam(lr: float = 1e-5, weight_decay: float = 0.0,
     phase-1 leave-one-out, detached aux projections and the frozen backbone in
     phase 2) are never decayed nor moment-tracked. JAX grads are zeros instead
     of None, so coupled weight decay WOULD silently decay frozen params every
-    step; the mask restores the exact torch semantics."""
+    step; the mask restores the exact torch semantics.
+
+    ``moments_dtype``: "float32" (default, exact torch parity) or "bfloat16"
+    (opt-in HBM-bandwidth lever; see _scale_by_adam_lowp)."""
 
     def make(learning_rate):
         steps = []
         if weight_decay:
             steps.append(optax.add_decayed_weights(weight_decay))
-        steps.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+        if moments_dtype in (None, "float32"):
+            steps.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+        else:
+            import jax.numpy as jnp
+            steps.append(_scale_by_adam_lowp(b1, b2, eps,
+                                             jnp.dtype(moments_dtype)))
         steps.append(optax.scale_by_learning_rate(learning_rate))
         opt = optax.chain(*steps)
         if trainable_mask is not None:

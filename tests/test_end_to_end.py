@@ -95,6 +95,40 @@ def test_predict_lta_submission(mtl_run):
     assert len(first["noun"]) == 5 and len(first["noun"][0]) == 20
 
 
+def test_predict_oscc_and_pnr_submissions(mtl_run):
+    """OSCC/PNR test-split prediction export: classifier decisions keyed by
+    unique_id, PNR argmax mapped to an absolute parent-video frame with the
+    meter's (end-start)/16 rule. Runs from the single-task predictor (no
+    other annotation files required)."""
+    import json
+    from egopack_tpu.predict import main as predict_main
+
+    _, tmp, root = mtl_run
+    out = osp.join(tmp, "oscc_predictions.json")
+    predict_main(_mtl_overrides(root, tmp, [
+        "resume_from=MTL_ar-lta-pnr",
+        "validation_split=test_unannotated",
+        "task=oscc", f"output={out}",
+    ]))
+    preds = json.load(open(out))
+    assert len(preds) > 0
+    uid, first = next(iter(preds.items()))
+    assert uid.startswith("oscc_test")
+    assert isinstance(first["state_change"], bool)
+    assert 0.0 <= first["prob_change"] <= 1.0
+
+    out = osp.join(tmp, "pnr_predictions.json")
+    predict_main(_mtl_overrides(root, tmp, [
+        "resume_from=MTL_ar-lta-pnr",
+        "validation_split=test_unannotated",
+        "task=pnr", f"output={out}",
+    ]))
+    preds = json.load(open(out))
+    assert len(preds) > 0
+    uid, first = next(iter(preds.items()))
+    assert first["pnr_frame"] >= 0.0
+
+
 def test_sweep_runner_executes_subprocess(ego4d_root, tmp_path):
     """The sweep runner actually launches runs (1-config grid, tiny model)."""
     import subprocess

@@ -111,6 +111,38 @@ def test_recognition_meter_tables(ego4d_root):
     assert emb.shape == (20, 2)
 
 
+def test_confusion_plot_frontend(ego4d_root, tmp_path):
+    """Heatmap PNG + actual-->predicted table (reference utils/plots.py)."""
+    from egopack_tpu.data import Ego4dRecognitionDataset
+    from egopack_tpu.eval.meters import Ego4dRecognitionMeter
+    from egopack_tpu.utils import plots
+
+    ds = Ego4dRecognitionDataset("val", num_segments=3, root=ego4d_root)
+    meter = Ego4dRecognitionMeter(ds, log_confusion=True)
+    rng = np.random.default_rng(1)
+    logits = (rng.normal(size=(30, 12)), rng.normal(size=(30, 9)))
+    labels = np.stack([rng.integers(0, 12, 30), rng.integers(0, 9, 30)], 1)
+    meter.update(logits, labels, 1.0)
+
+    cm = meter.confusion("verbs")
+    assert cm.shape == (12, 12) and cm.sum() == 30
+
+    png = tmp_path / "confusion.png"
+    assert plots.save_confusion_heatmap(cm, str(png))
+    assert png.stat().st_size > 0
+
+    # un-normalized table lists every nonzero cell
+    rows = plots.generate_confusion_table(cm, [f"v{i}" for i in range(12)],
+                                          normalize=False)
+    assert sum(count for _, count in rows) == 30
+    assert all("-->" in head for head, _ in rows)
+    # normalized table reproduces the reference's .long() truncation: only
+    # cells that make up an entire row survive
+    norm_rows = plots.generate_confusion_table(
+        np.eye(3) * 5, ["a", "b", "c"], normalize=True)
+    assert norm_rows == [("a --> a", 1), ("b --> b", 1), ("c --> c", 1)]
+
+
 def test_anticipation_meter(ego4d_root):
     from egopack_tpu.data import Ego4dAnticipationDataset
     from egopack_tpu.eval.meters import Ego4dAnticipationMeter

@@ -77,7 +77,10 @@ def ref():
 # ---------------------------------------------------------------- porting
 
 def t2j(t: torch.Tensor) -> jnp.ndarray:
-    return jnp.asarray(t.detach().cpu().numpy())
+    # .copy() matters: jnp.asarray of a host numpy array is ZERO-COPY on the
+    # CPU backend, so without it an in-place torch optimizer step would mutate
+    # the "ported" jax params through the shared buffer
+    return jnp.asarray(t.detach().cpu().numpy().copy())
 
 
 def port_lin(lin: torch.nn.Linear) -> Dict[str, jnp.ndarray]:
@@ -515,22 +518,10 @@ class _DuckDataset:
     num_labels = 2
 
 
-def test_phase1_mtl_loss_and_gradients_match(ref):
-    """Full fused MTL step vs the reference train() math (executing the real
-    MetricSelectorWrapper), including gradients."""
-    tmodel = build_torch_backbone(ref)
-    theads = build_torch_heads(ref)
-    for m in theads.values():
-        m.eval()
-    weights = {"ar": 1.0, "lta": 0.5, "oscc": 1.0, "pnr": 2.0}
-    system = build_system(weights)
-    params = port_system(ref, tmodel, theads, system)
-
-    rng = np.random.default_rng(6)
-    batches_np = {n: make_batch(rng, system.tasks[n].spec, n)
-                  for n in ("ar", "lta", "oscc", "pnr")}
-
-    # ---- torch side: main_temporal.py:87-128 semantics
+def torch_phase1_total_loss(ref, tmodel, theads, weights, batches_np, specs):
+    """The reference train() loss math (main_temporal.py:87-128), executing
+    the real MetricSelectorWrapper. Returns (total torch scalar with graph
+    attached, per-task float dict)."""
     ce = torch.nn.CrossEntropyLoss(reduction="none", ignore_index=-1)
     crit = {
         "ar": ref.wrapper.MetricSelectorWrapper(ce, dataset=_DuckDataset()),
@@ -541,7 +532,7 @@ def test_phase1_mtl_loss_and_gradients_match(ref):
     losses, t_task_losses = [], {}
     for name in ("ar", "lta", "oscc", "pnr"):
         x, y = batches_np[name]
-        spec = system.tasks[name].spec
+        spec = specs[name]
         edge_adjs = (lta_torch_edges(ref, spec, y) if name == "lta" else None)
         data = dense_to_torch(ref, x, y, spec, y_per_graph=(name == "oscc"),
                               edge_adjs=edge_adjs)
@@ -558,7 +549,28 @@ def test_phase1_mtl_loss_and_gradients_match(ref):
             loss = crit[name](logits, data.y)
         t_task_losses[name] = float(loss.detach().mean())
         losses.append(weights[name] * loss.mean())
-    total_t = torch.stack(losses).sum()
+    return torch.stack(losses).sum(), t_task_losses
+
+
+def test_phase1_mtl_loss_and_gradients_match(ref):
+    """Full fused MTL step vs the reference train() math (executing the real
+    MetricSelectorWrapper), including gradients."""
+    tmodel = build_torch_backbone(ref)
+    theads = build_torch_heads(ref)
+    for m in theads.values():
+        m.eval()
+    weights = {"ar": 1.0, "lta": 0.5, "oscc": 1.0, "pnr": 2.0}
+    system = build_system(weights)
+    params = port_system(ref, tmodel, theads, system)
+
+    rng = np.random.default_rng(6)
+    batches_np = {n: make_batch(rng, system.tasks[n].spec, n)
+                  for n in ("ar", "lta", "oscc", "pnr")}
+
+    # ---- torch side: main_temporal.py:87-128 semantics
+    specs = {n: system.tasks[n].spec for n in batches_np}
+    total_t, t_task_losses = torch_phase1_total_loss(
+        ref, tmodel, theads, weights, batches_np, specs)
     total_t.backward()
 
     # ---- jax side: the production fused loss fn
@@ -856,3 +868,92 @@ def test_eval_step_matches_reference_validate(ref, proto_setup, late_fusion):
     np.testing.assert_allclose(
         np.asarray(j_post).reshape(t_post.shape), t_post.numpy(),
         rtol=2e-4, atol=1e-5)
+
+
+# ------------------------------------------------- optimizer trajectories
+
+def test_phase1_training_trajectory_matches(ref):
+    """Multi-step OPTIMIZER-IN-THE-LOOP parity: 3 epochs x 2 steps of the
+    full MTL recipe — torch.optim.Adam(weight_decay>0, coupled L2) +
+    CosineAnnealingLR stepped per epoch (/root/reference/main_temporal.py:
+    265-279, coupled decay over ALL params since configure_optimizers just
+    returns parameters()) against this framework's production
+    ``make_train_step`` + ``optim.adam`` + ``build_lr_fn`` on identical batch
+    streams. Asserts every per-step per-task loss and the final parameters.
+    This extends the single-step gradient parity above into executed
+    optimizer/schedule trajectory parity."""
+    from egopack_tpu.train import optim as jo
+
+    tmodel = build_torch_backbone(ref)
+    theads = build_torch_heads(ref)
+    for m in theads.values():
+        m.eval()  # dropout is 0 everywhere; LayerNorm has no mode state
+    weights = {"ar": 1.0, "lta": 0.5, "oscc": 1.0, "pnr": 2.0}
+    active = ("ar", "lta", "oscc", "pnr")
+    system = build_system(weights)
+    params = port_system(ref, tmodel, theads, system)
+    specs = {n: system.tasks[n].spec for n in active}
+
+    n_epochs, steps_per_epoch = 3, 2
+    base_lr, wd = 1e-3, 1e-2
+    rng = np.random.default_rng(17)
+    stream = [{n: make_batch(rng, specs[n], n) for n in active}
+              for _ in range(n_epochs * steps_per_epoch)]
+
+    topt = torch.optim.Adam(
+        [p for m in (tmodel, *theads.values()) for p in m.parameters()],
+        lr=base_lr, weight_decay=wd)
+    tsched = torch.optim.lr_scheduler.CosineAnnealingLR(topt, T_max=n_epochs)
+
+    optimizer = jo.adam(lr=base_lr, weight_decay=wd)
+    opt_state = optimizer.init(params)
+    step = system.make_train_step(optimizer, active)
+    lr_fn = jo.build_lr_fn(base_lr, jo.cosine_annealing(n_epochs))
+
+    key = jax.random.PRNGKey(3)
+    it = iter(stream)
+    for epoch in range(n_epochs):
+        lr = lr_fn(epoch)
+        assert abs(topt.param_groups[0]["lr"] - lr) < 1e-12
+        for _ in range(steps_per_epoch):
+            batches_np = next(it)
+            topt.zero_grad(set_to_none=True)
+            total_t, t_task = torch_phase1_total_loss(
+                ref, tmodel, theads, weights, batches_np, specs)
+            total_t.backward()
+            topt.step()
+
+            jbatches = {n: jbatch(*batches_np[n]) for n in active}
+            params, opt_state, logs = step(params, opt_state, jbatches,
+                                           key, lr)
+            for name in active:
+                np.testing.assert_allclose(
+                    float(logs[f"{name}_loss"]), t_task[name],
+                    rtol=5e-4, atol=1e-5,
+                    err_msg=f"epoch {epoch} {name}")
+        tsched.step()
+
+    # final parameters across every subtree (same leaves as the gradient
+    # parity checks, now after 6 coupled-decay Adam steps + 2 LR changes)
+    final_checks = [
+        (tmodel.temporal_pooling.proj[0].weight,
+         params["temporal_graph"]["pooling"]["fc0"]["kernel"]),
+        (tmodel.net.mods[0].lin_l.weight,
+         params["temporal_graph"]["sage0"]["lin_l"]["kernel"]),
+        (tmodel.net.mods[-1].weight,
+         params["temporal_graph"]["out_lin"]["kernel"]),
+        (theads["ar"].net[1].weight,
+         params["task/recognition"]["proj_fc0"]["kernel"]),
+        (theads["oscc"].classifier[1].weight,
+         params["task/oscc"]["cls"][_only_child(
+             params["task/oscc"]["cls"])]["kernel"]),
+        (theads["pnr"].net[4].weight,
+         params["task/pnr"]["proj_fc1"]["kernel"]),
+        (theads["lta"].classifiers[1][1].weight,
+         params["task/lta"]["cls1"][_only_child(
+             params["task/lta"]["cls1"])]["kernel"]),
+    ]
+    for tparam, jparam in final_checks:
+        np.testing.assert_allclose(np.asarray(jparam).T,
+                                   tparam.detach().numpy(),
+                                   rtol=1e-3, atol=5e-5)
