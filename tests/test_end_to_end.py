@@ -170,14 +170,19 @@ def test_egopack_multiple_active_tasks_and_validate_all(mtl_run):
 
 def test_egopack_trainable_banks(mtl_run):
     """graphone.freeze=False: prototype banks join the param tree and move
-    during training (reference nn.Embedding.from_pretrained(freeze=False))."""
-    import jax
+    during training (reference nn.Embedding.from_pretrained(freeze=False));
+    the artifact persists the TRAINED bank values and evaluates cold to the
+    same metrics."""
+    from egopack_tpu.evaluate import main as evaluate_main
+    from egopack_tpu.train.checkpoint import load_artifact
+
     _, tmp, root = mtl_run
     result = main_egopack.main(_mtl_overrides(root, tmp, [
         "enabled_tasks=[oscc]", "enable_graphone=True",
         "resume_from=MTL_ar-lta-pnr", "graphone.k=2", "graphone.depth=1",
         "graphone.hidden_size=32", "graphone.freeze=False",
-        "num_epochs=1", "optimizer.lr=1e-2", "save_model=False",
+        "num_epochs=1", "optimizer.lr=1e-2", "save_model=True",
+        "artifact_prefix=TB",
     ]))
     params, banks = result["params"], result["banks"]
     assert "graphone_banks" in params
@@ -186,6 +191,19 @@ def test_egopack_trainable_banks(mtl_run):
                         np.asarray(banks[t].values))
         for t in banks)
     assert moved
+
+    # the artifact carries the TRAINED values, not the build-time ones
+    payload, meta = load_artifact(osp.join(tmp, "artifacts"), "TB_oscc")
+    assert meta["graphone"]["freeze"] is False
+    np.testing.assert_array_equal(
+        np.asarray(payload["graphone_banks"]["ar"]),
+        np.asarray(params["graphone_banks"]["ar"]))
+
+    cold = evaluate_main(_mtl_overrides(root, tmp, [
+        "enabled_tasks=[oscc]", "resume_from=TB_oscc",
+    ]))
+    assert abs(cold["oscc"]["accuracy"]
+               - result["val_metrics"]["oscc"]["accuracy"]) < 1e-4
 
 
 def test_egopack_artifact_cold_reload_matches_in_memory(mtl_run):

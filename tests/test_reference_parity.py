@@ -957,3 +957,127 @@ def test_phase1_training_trajectory_matches(ref):
         np.testing.assert_allclose(np.asarray(jparam).T,
                                    tparam.detach().numpy(),
                                    rtol=1e-3, atol=5e-5)
+
+
+def test_phase2_training_trajectory_matches(ref):
+    """Phase-2 OPTIMIZER-IN-THE-LOOP parity: 2 epochs x 2 steps of novel-task
+    OSCC training with cross-task interaction — torch Adam over model + all
+    heads + graphone (/root/reference/main_egopack.py:317-325; detached aux
+    projections have grad=None so torch never touches or DECAYS them) vs this
+    framework's production ``make_egopack_train_step`` with the driver's
+    structural trainable mask (driver.py:487-496). Executes the homegrown
+    mask/coupled-decay interaction the single-step test can't see."""
+    from egopack_tpu.train import optim as jo
+    from egopack_tpu.train.driver import trainable_mask_fn
+
+    # fresh modules (module-scoped fixtures must not be mutated by optimizer
+    # steps) — banks built with the plain heads, as build_graphone does
+    tmodel = build_torch_backbone(ref)
+    theads_plain = build_torch_heads(ref)
+    for m in theads_plain.values():
+        m.eval()
+    aux_tasks = ("ar", "lta", "pnr")
+    rng_np = np.random.default_rng(7)
+    spec_ar = g.ar_spec()
+    ar_batches = [make_batch(rng_np, spec_ar, "ar") for _ in range(3)]
+    tdata = [dense_to_torch(ref, x, y, spec_ar) for x, y in ar_batches]
+    tbanks = ref.build.build_graphone(
+        tmodel, theads_plain["ar"], [theads_plain[t] for t in aux_tasks],
+        tdata, device="cpu")
+
+    task_labels = tuple(sorted(aux_tasks))
+    aux_map = {"oscc": task_labels}
+    theads = build_torch_heads(ref, aux_map)
+    for m in theads.values():
+        m.eval()
+    torch.manual_seed(41)
+    tgo = ref.graphONE.GraphONE({t: tbanks[t] for t in aux_tasks},
+                                features_size=F, hidden_size=F,
+                                k=4, depth=2, residual=True)
+    tgo.eval()
+
+    system = build_system(aux_map=aux_map)
+    params = port_system(ref, tmodel, theads, system, aux_map)
+    jgo = GraphONE(task_labels=task_labels, features_size=F,
+                   hidden_size=F, k=4, depth=2, residual=True)
+    banks = _pad_banks(tbanks)
+    dummy = {t: jnp.zeros((4, F)) for t in task_labels}
+    gparams = dict(jgo.init(jax.random.PRNGKey(0), dummy, banks,
+                            method="interact")["params"])
+    port_graphone(tgo, jgo, gparams, task_labels)
+    params["graphone"] = gparams
+
+    n_epochs, steps_per_epoch = 2, 2
+    base_lr, wd = 1e-3, 1e-2
+    rng_b = np.random.default_rng(23)
+    spec = system.tasks["oscc"].spec
+    stream = [make_batch(rng_b, spec, "oscc")
+              for _ in range(n_epochs * steps_per_epoch)]
+
+    # torch: the reference optimizer param list (frozen bank embeddings and
+    # detached aux projections ride along with grad=None)
+    topt_all = torch.optim.Adam(
+        [p for m in (tmodel, *theads.values(), tgo) for p in m.parameters()],
+        lr=base_lr, weight_decay=wd)
+    tsched = torch.optim.lr_scheduler.CosineAnnealingLR(topt_all,
+                                                        T_max=n_epochs)
+
+    # jax: the production masked optimizer (driver.py:490-494, backprop on)
+    optimizer = jo.adam(lr=base_lr, weight_decay=wd,
+                        trainable_mask=trainable_mask_fn(
+                            ["task/oscc", "graphone", "temporal_graph"]))
+    opt_state = optimizer.init(params)
+    step = system.make_egopack_train_step(
+        optimizer, ("oscc",), jgo, backprop_temporal_graph=True,
+        temporal_graph_train_mode=False, late_fusion=True)
+    lr_fn = jo.build_lr_fn(base_lr, jo.cosine_annealing(n_epochs))
+
+    ar_proj0 = np.asarray(params["task/recognition"]["proj_fc0"]["kernel"]).copy()
+    key = jax.random.PRNGKey(5)
+    it = iter(stream)
+    primary = theads["oscc"]
+    others = [theads[t] for t in ("ar", "lta", "pnr")]
+    for epoch in range(n_epochs):
+        lr = lr_fn(epoch)
+        assert abs(topt_all.param_groups[0]["lr"] - lr) < 1e-12
+        for _ in range(steps_per_epoch):
+            x, y = next(it)
+            topt_all.zero_grad(set_to_none=True)
+            data = dense_to_torch(ref, x, y, spec, y_per_graph=True)
+            feat = tmodel(data)
+            feat_primary = primary.forward_features(feat)
+            secondary, _ = tgo.interact(
+                {t.name: t.forward_features(feat).detach() for t in others})
+            logits = primary.forward_logits(features=feat_primary,
+                                            batch=data.batch,
+                                            aux_features=secondary)
+            t_loss = primary.compute_loss(logits, data.y).mean()
+            t_loss.backward()
+            topt_all.step()
+
+            params, opt_state, logs = step(params, opt_state, banks,
+                                           {"oscc": jbatch(x, y)}, key, lr)
+            np.testing.assert_allclose(float(logs["oscc_loss"]),
+                                       float(t_loss.detach()),
+                                       rtol=5e-4, atol=1e-5,
+                                       err_msg=f"epoch {epoch}")
+        tsched.step()
+
+    # trained subtrees agree after 4 masked-decay Adam steps
+    np.testing.assert_allclose(
+        np.asarray(params["task/oscc"]["proj_fc0"]["kernel"]).T,
+        primary.net[1].weight.detach().numpy(), rtol=1e-3, atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(params["graphone"]["w_l"][0, 0]).T,
+        tgo.conv_stages[task_labels[0]][0].mods[0].lin_l.weight.detach().numpy(),
+        rtol=1e-3, atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(params["temporal_graph"]["pooling"]["fc0"]["kernel"]).T,
+        tmodel.temporal_pooling.proj[0].weight.detach().numpy(),
+        rtol=1e-3, atol=5e-5)
+    # detached aux projections: untouched on BOTH sides (torch grad=None ==
+    # structural mask; coupled decay must NOT have moved them)
+    np.testing.assert_array_equal(
+        np.asarray(params["task/recognition"]["proj_fc0"]["kernel"]), ar_proj0)
+    np.testing.assert_array_equal(
+        theads["ar"].net[1].weight.detach().numpy().T, ar_proj0)
