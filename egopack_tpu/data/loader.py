@@ -98,9 +98,16 @@ class DataLoader:
         return [order[i * self.batch_size:(i + 1) * self.batch_size]
                 for i in range(nb)]
 
+    def _sample_rng(self, pass_idx: int, idx: int) -> np.random.Generator:
+        """Augmentation rng keyed by the GLOBAL dataset index (not stream
+        position): a process-sharded loader draws bit-identical jitter for
+        sample i as the unsharded loader, so shards reassemble the global
+        batches exactly even when augmentations consume randomness — and
+        different processes never share correlated streams."""
+        return np.random.default_rng((self.seed, self._epoch, pass_idx, 1,
+                                      int(idx)))
+
     def _produce(self, pass_idx: int) -> Iterator[Dict[str, Any]]:
-        sample_rng = np.random.default_rng((self.seed, self._epoch,
-                                            pass_idx, 1))
         local_bs = self.batch_size
         for idxs in self._index_batches(pass_idx):
             if self.process_shard is not None:
@@ -111,12 +118,13 @@ class DataLoader:
             if len(idxs) == 0:  # partial global batch owned by other hosts
                 # every process must yield the same number of batches; emit a
                 # fully-padded (all-invalid) batch from sample 0
-                samples = [self.dataset.get(0, sample_rng)]
+                samples = [self.dataset.get(0, self._sample_rng(pass_idx, 0))]
                 batch = collate(samples, pad_to=local_bs)
                 batch["valid"][:] = False
                 yield batch
                 continue
-            samples = [self.dataset.get(int(i), sample_rng) for i in idxs]
+            samples = [self.dataset.get(int(i), self._sample_rng(pass_idx, i))
+                       for i in idxs]
             yield collate(samples, pad_to=local_bs)
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:

@@ -26,12 +26,11 @@ import sys
 from typing import Any, Dict, List, Optional
 
 import jax
-import jax.numpy as jnp
 
 from .config import compose, default_config_dir, to_container
-from .models.graphone import GraphONE, PrototypeBank
 from .train import driver as drv
-from .train.checkpoint import load_artifact, merge_loaded_params
+from .train.checkpoint import (load_artifact, merge_loaded_params,
+                               unpack_artifact)
 from .utils.logging import RunLogger, setup_logging
 
 logger = logging.getLogger(__name__)
@@ -41,43 +40,18 @@ def evaluate(cfg, output: Optional[str] = None) -> Dict[str, Dict[str, Any]]:
     setup_logging()
     assert cfg.resume_from, "evaluate requires resume_from=<artifact>"
     payload, meta = load_artifact(cfg.artifact_dir, cfg.resume_from)
-    phase2 = (meta.get("phase") == "egopack") or ("graphone" in payload)
+    phase2, banks, graphone, aux_tasks, late_fusion, extra = unpack_artifact(
+        payload, meta, cfg)
 
     dsets = drv.build_datasets(cfg)
     system = drv.build_system(cfg, dsets, phase2=phase2)
     rng = jax.random.PRNGKey(cfg.seed if cfg.seed > 0 else 0)
     params = system.init_params(rng, dsets["ar"]["train"].features_size)
-
-    payload.pop("epoch", None)
-    bank_vals = payload.pop("graphone_banks", None)
-    bank_masks = payload.pop("graphone_bank_masks", None)
-    gparams = payload.pop("graphone", None)
     params = merge_loaded_params(params, payload)
-
-    banks: Optional[Dict[str, PrototypeBank]] = None
-    graphone: Optional[GraphONE] = None
-    aux_tasks: tuple = ()
-    if phase2:
-        assert bank_vals is not None and bank_masks is not None, (
-            "EgoPack artifact lacks prototype banks; it predates the complete "
-            "phase-2 artifact format and cannot be evaluated cold")
-        aux_tasks = tuple(meta.get("aux_tasks") or sorted(bank_vals.keys()))
-        banks = {t: PrototypeBank(jnp.asarray(bank_vals[t]),
-                                  jnp.asarray(bank_masks[t]))
-                 for t in bank_vals}
-        gcfg = dict(meta.get("graphone") or to_container(cfg.graphone))
-        graphone = GraphONE(task_labels=aux_tasks,
-                            features_size=cfg.model.hidden_size, **gcfg)
-        params["graphone"] = gparams
-        if not gcfg.get("freeze", True):
-            # trainable-bank artifacts: the trained values live in the params
-            # tree (see train_egopack)
-            params["graphone_banks"] = {t: jnp.asarray(v)
-                                        for t, v in bank_vals.items()}
+    params.update(extra)
 
     eval_tasks = list(meta.get("tasks") or cfg.enabled_tasks)
     task_weights = {t: (1.0 if t in eval_tasks else 0.0) for t in drv.TASKS}
-    late_fusion = bool(meta.get("late_fusion", cfg.late_fusion))
 
     eval_steps: Dict[str, Any] = {}
     for t in drv.TASKS:

@@ -35,10 +35,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import compose, default_config_dir, instantiate as _inst
-from .config import to_container
 from .data.loader import build_dataloader
 from .eval.validate import _device_batch
-from .train.checkpoint import load_artifact, merge_loaded_params
+from .train.checkpoint import (load_artifact, merge_loaded_params,
+                               unpack_artifact)
 from .utils.logging import setup_logging
 
 logger = logging.getLogger(__name__)
@@ -91,20 +91,12 @@ class Predictor:
 
         loaded, meta = load_artifact(cfg.artifact_dir, cfg.resume_from)
         self.meta = meta
-        loaded.pop("epoch", None)
-        bank_vals = loaded.pop("graphone_banks", None)
-        bank_masks = loaded.pop("graphone_bank_masks", None)
-        gparams = loaded.pop("graphone", None)
-        phase2 = gparams is not None
-        assert not phase2 or (bank_vals is not None and bank_masks is not None), (
-            "EgoPack artifact lacks prototype banks; it predates the complete "
-            "phase-2 artifact format and cannot be used for prediction")
-
         # phase-2 artifacts carry aux classifiers on the primary head + the
         # prototype banks (reference main_egopack.py:453-459); rebuild them so
-        # challenge predictions come from the full EgoPack model
-        aux_tasks = tuple(meta.get("aux_tasks") or
-                          (sorted(bank_vals) if bank_vals else ()))
+        # challenge predictions come from the full EgoPack model (same
+        # reconstruction path as egopack_tpu.evaluate)
+        (phase2, banks, graphone, aux_tasks, late_fusion,
+         extra) = unpack_artifact(loaded, meta, cfg)
         self.aux = (tuple(t for t in aux_tasks if t != task)
                     if phase2 else None)
         if task in ("ar", "lta"):
@@ -133,27 +125,15 @@ class Predictor:
         params = self.system.init_params(jax.random.PRNGKey(cfg.seed),
                                          dset.features_size)
         params = merge_loaded_params(params, loaded)
-
-        self.banks = {}
-        graphone = None
+        params.update(extra)
+        self.banks = banks or {}
         if phase2:
-            from .models.graphone import GraphONE, PrototypeBank
-            self.banks = {t: PrototypeBank(jnp.asarray(bank_vals[t]),
-                                           jnp.asarray(bank_masks[t]))
-                          for t in bank_vals}
-            gcfg = dict(meta.get("graphone") or to_container(cfg.graphone))
-            graphone = GraphONE(task_labels=aux_tasks, features_size=hidden,
-                                **gcfg)
-            params["graphone"] = gparams
-            if not gcfg.get("freeze", True):
-                params["graphone_banks"] = {t: jnp.asarray(v)
-                                            for t, v in bank_vals.items()}
             logger.info("EgoPack artifact: predicting with %s-bank interaction",
                         "/".join(self.aux))
         self.params = params
         self.eval_step = self.system.make_eval_step(
             task, aux=self.aux or (), graphone=graphone,
-            late_fusion=bool(meta.get("late_fusion", cfg.late_fusion)))
+            late_fusion=late_fusion)
 
     def loader(self):
         cfg = self.cfg

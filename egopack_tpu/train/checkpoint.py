@@ -42,10 +42,19 @@ def _to_numpy(tree):
 
 def save_artifact(artifact_dir: str, name: str, payload: Dict[str, Any],
                   meta: Optional[Dict[str, Any]] = None) -> str:
-    """Save a named artifact (same naming contract as the reference)."""
+    """Save a named artifact (same naming contract as the reference).
+
+    Multihost-safe: EVERY process must call this — ``_to_numpy`` gathers
+    non-fully-addressable shards via a ``process_allgather`` collective that
+    all processes participate in; only process 0 then touches the
+    filesystem. (Gating the whole call on process 0 would deadlock it inside
+    the collective while the other processes exit.)"""
     path = osp.join(artifact_dir, name)
+    host_payload = _to_numpy(payload)  # collective — before the p0 gate
+    if jax.process_index() != 0:
+        return path
     os.makedirs(path, exist_ok=True)
-    blob = serialization.msgpack_serialize(_to_numpy(payload))
+    blob = serialization.msgpack_serialize(host_payload)
     with open(osp.join(path, "checkpoint.msgpack"), "wb") as f:
         f.write(blob)
     with open(osp.join(path, "meta.json"), "w") as f:
@@ -67,6 +76,53 @@ def load_artifact(artifact_dir: str, ref: str) -> Tuple[Dict[str, Any], Dict[str
         with open(meta_path) as f:
             meta = json.load(f)
     return payload, meta
+
+
+def unpack_artifact(payload: Dict[str, Any], meta: Dict[str, Any], cfg):
+    """Split a loaded artifact into its model overlay + phase-2 extras.
+
+    Single reconstruction path shared by ``egopack_tpu.evaluate`` (cold
+    validation) and ``egopack_tpu.predict`` (challenge export) so the two can
+    never drift: pops the non-param entries from ``payload`` (leaving the
+    state-dict overlay for ``merge_loaded_params``) and, for EgoPack
+    artifacts, rebuilds the prototype banks + GraphONE module the reference
+    persists via ``graphone.state_dict()``
+    (/root/reference/main_egopack.py:453-459).
+
+    Returns ``(phase2, banks, graphone, aux_tasks, late_fusion,
+    extra_params)`` where ``banks`` is None for phase-1 artifacts and
+    ``extra_params`` holds the subtrees to graft onto the initialized params
+    ("graphone" convs; "graphone_banks" when trained with freeze=False)."""
+    import jax.numpy as jnp
+
+    from ..config import to_container
+    from ..models.graphone import GraphONE, PrototypeBank
+
+    payload.pop("epoch", None)
+    bank_vals = payload.pop("graphone_banks", None)
+    bank_masks = payload.pop("graphone_bank_masks", None)
+    gparams = payload.pop("graphone", None)
+    phase2 = (meta.get("phase") == "egopack") or (gparams is not None)
+    if not phase2:
+        return False, None, None, (), bool(meta.get("late_fusion",
+                                                    cfg.late_fusion)), {}
+    assert bank_vals is not None and bank_masks is not None, (
+        "EgoPack artifact lacks prototype banks; it predates the complete "
+        "phase-2 artifact format and cannot be reloaded cold")
+    aux_tasks = tuple(meta.get("aux_tasks") or sorted(bank_vals))
+    banks = {t: PrototypeBank(jnp.asarray(bank_vals[t]),
+                              jnp.asarray(bank_masks[t]))
+             for t in bank_vals}
+    gcfg = dict(meta.get("graphone") or to_container(cfg.graphone))
+    graphone = GraphONE(task_labels=aux_tasks,
+                        features_size=cfg.model.hidden_size, **gcfg)
+    extra_params: Dict[str, Any] = {"graphone": gparams}
+    if not gcfg.get("freeze", True):
+        # trainable-bank artifacts: the trained values live in the params tree
+        extra_params["graphone_banks"] = {t: jnp.asarray(v)
+                                          for t, v in bank_vals.items()}
+    return (phase2, banks, graphone, aux_tasks,
+            bool(meta.get("late_fusion", cfg.late_fusion)), extra_params)
 
 
 def merge_loaded_params(params: Dict[str, Any], loaded: Dict[str, Any]) -> Dict[str, Any]:

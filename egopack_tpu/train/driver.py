@@ -285,9 +285,11 @@ def train_mtl(cfg) -> Dict[str, Any]:
                              cfg.use_warmup)
     opt_state = topt.init_opt_state(optimizer, params, mesh)
 
-    step_fn = system.make_train_step(optimizer, active)
+    log_norms = bool(cfg.get("log_grad_norms", True))
+    step_fn = system.make_train_step(optimizer, active, log_norms=log_norms)
     spc = int(cfg.get("steps_per_call", 1))
-    multi_fn = (system.make_train_step_multi(optimizer, active, spc)
+    multi_fn = (system.make_train_step_multi(optimizer, active, spc,
+                                             log_norms=log_norms)
                 if spc > 1 else None)
     eval_steps = {t: system.make_eval_step(t) for t in TASKS}
     lta_head = system.tasks["lta"].head
@@ -356,7 +358,8 @@ def train_mtl(cfg) -> Dict[str, Any]:
             for t in active:
                 losses[t].append(logs[f"{t}_loss"])
             for k in norms:
-                norms[k].append(logs[k])
+                if k in logs:
+                    norms[k].append(logs[k])
             if trace_on and n_steps >= 1 + max(spc, 4):
                 jax.block_until_ready(params)
                 jax.profiler.stop_trace()
@@ -375,7 +378,8 @@ def train_mtl(cfg) -> Dict[str, Any]:
             for t in active:
                 losses[t].append(logs[f"{t}_loss"])
             for k in norms:
-                norms[k].append(logs[k])
+                if k in logs:
+                    norms[k].append(logs[k])
             n_steps += 1
         epoch_losses = {
             t: float(np.mean(np.concatenate(
@@ -408,13 +412,16 @@ def train_mtl(cfg) -> Dict[str, Any]:
 
     result = {"params": params, "system": system, "dsets": dsets,
               "val_metrics": val_metrics, "run_dir": run_logger.dir}
-    if cfg.save_model and jax.process_index() == 0:
+    if cfg.save_model:
+        # every process calls save_artifact (its shard-gather is a
+        # collective); only process 0 writes
         payload = {k: params[k] for k in params}
         payload["epoch"] = np.asarray(cfg.num_epochs)
         save_artifact(cfg.artifact_dir, name, payload,
                       meta={"tasks": [t for t in active],
                             "num_epochs": cfg.num_epochs})
-        logger.info("Saved artifact %s", name)
+        if jax.process_index() == 0:
+            logger.info("Saved artifact %s", name)
         result["artifact"] = name
     run_logger.close()
     return result
@@ -498,17 +505,19 @@ def train_egopack(cfg) -> Dict[str, Any]:
                              cfg.use_warmup)
     opt_state = topt.init_opt_state(optimizer, params, mesh)
 
+    log_norms = bool(cfg.get("log_grad_norms", True))
     step_fn = system.make_egopack_train_step(
         optimizer, active, graphone,
         backprop_temporal_graph=cfg.backprop_temporal_graph,
         temporal_graph_train_mode=cfg.temporal_graph_train_mode,
-        late_fusion=cfg.late_fusion)
+        late_fusion=cfg.late_fusion, log_norms=log_norms)
     spc = int(cfg.get("steps_per_call", 1))
     multi_fn = (system.make_egopack_train_step_multi(
         optimizer, active, graphone, spc,
         backprop_temporal_graph=cfg.backprop_temporal_graph,
         temporal_graph_train_mode=cfg.temporal_graph_train_mode,
-        late_fusion=cfg.late_fusion) if spc > 1 else None)
+        late_fusion=cfg.late_fusion,
+        log_norms=log_norms) if spc > 1 else None)
 
     eval_steps: Dict[str, Any] = {}
     for t in TASKS:
@@ -576,7 +585,8 @@ def train_egopack(cfg) -> Dict[str, Any]:
             for t in active:
                 losses[t].append(logs[f"{t}_loss"])
             for k in norms:
-                norms[k].append(logs[k])
+                if k in logs:
+                    norms[k].append(logs[k])
         for batches in pending:  # tail: fewer than steps_per_call batches
             params, opt_state, logs = step_fn(
                 params, opt_state, banks, batches,
@@ -585,7 +595,8 @@ def train_egopack(cfg) -> Dict[str, Any]:
             for t in active:
                 losses[t].append(logs[f"{t}_loss"])
             for k in norms:
-                norms[k].append(logs[k])
+                if k in logs:
+                    norms[k].append(logs[k])
         epoch_losses = {
             t: float(np.mean(np.concatenate(
                 [np.atleast_1d(np.asarray(l)) for l in losses[t]])))
@@ -612,25 +623,29 @@ def train_egopack(cfg) -> Dict[str, Any]:
     result = {"params": params, "banks": banks, "system": system,
               "dsets": dsets, "graphone": graphone,
               "val_metrics": val_metrics, "run_dir": run_logger.dir}
-    if cfg.save_model and jax.process_index() == 0:
+    if cfg.save_model:
+        # every process calls save_artifact (its shard-gather is a
+        # collective); only process 0 writes
         payload = {k: params[k] for k in params}
         # the reference persists graphone.state_dict() — which includes the
         # frozen prototype Embedding weights — in the phase-2 artifact
         # (/root/reference/main_egopack.py:453-459); banks + validity masks
         # complete the artifact so it can be evaluated cold
-        # (egopack_tpu.evaluate) without re-sweeping the AR train set
-        from .checkpoint import _host_value
+        # (egopack_tpu.evaluate) without re-sweeping the AR train set;
+        # device arrays go in as-is — save_artifact's _to_numpy gathers
+        # model-axis bank shards collectively on all processes
         eff = params.get("graphone_banks",
                          {t: b.values for t, b in banks.items()})
-        payload["graphone_banks"] = {t: _host_value(v) for t, v in eff.items()}
-        payload["graphone_bank_masks"] = {t: _host_value(b.mask)
-                                          for t, b in banks.items()}
+        payload["graphone_banks"] = dict(eff)
+        payload["graphone_bank_masks"] = {t: b.mask for t, b in banks.items()}
         name = artifact_name(cfg, task_weights)
         save_artifact(cfg.artifact_dir, name, payload,
                       meta={"tasks": list(active), "phase": "egopack",
                             "aux_tasks": list(aux_tasks),
                             "graphone": to_container(cfg.graphone),
                             "late_fusion": bool(cfg.late_fusion)})
+        if jax.process_index() == 0:
+            logger.info("Saved artifact %s", name)
         result["artifact"] = name
     run_logger.close()
     return result

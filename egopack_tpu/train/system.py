@@ -235,19 +235,23 @@ class MultiTaskSystem:
 
         return loss_fn
 
-    def make_train_step(self, optimizer, active: Tuple[str, ...]):
+    def make_train_step(self, optimizer, active: Tuple[str, ...],
+                        log_norms: bool = True):
         """One jitted step over the active task subset. ``active`` is static —
         the step is compiled once per enabled-task pattern (mirrors the
-        reference's weight>0 gating)."""
+        reference's weight>0 gating). ``log_norms=False`` drops the two
+        global-norm reductions (full passes over all grads + params) from the
+        fused program — a bandwidth lever on the Adam-bound step."""
         loss_fn = self._make_phase1_loss_fn(active)
 
         def inner_step(params, opt_state, batches, rng):
             (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, batches, rng)
-            # gradient/parameter observability — the wandb.watch(model,
-            # log="all") analog (/root/reference/main_temporal.py:262)
-            logs["grad_norm"] = _global_norm(grads)
-            logs["param_norm"] = _global_norm(params)
+            if log_norms:
+                # gradient/parameter observability — the wandb.watch(model,
+                # log="all") analog (/root/reference/main_temporal.py:262)
+                logs["grad_norm"] = _global_norm(grads)
+                logs["param_norm"] = _global_norm(params)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = jax.tree_util.tree_map(
                 lambda p, u: p + u, params, updates)
@@ -262,7 +266,7 @@ class MultiTaskSystem:
         return step
 
     def make_train_step_multi(self, optimizer, active: Tuple[str, ...],
-                              steps_per_call: int):
+                              steps_per_call: int, log_norms: bool = True):
         """``steps_per_call`` sequential optimizer steps over as many distinct
         batch groups inside ONE jitted program, UNROLLED (``lax.scan`` over
         steps measured ~50× slower on this stack). Mathematically identical to
@@ -276,7 +280,7 @@ class MultiTaskSystem:
         and ``rng`` the epoch key — the SAME key a single-step driver run
         derives, so spc=1 and spc=K runs are bitwise identical (verified by
         ``test_steps_per_call_matches_single_step``)."""
-        inner = self.make_train_step(optimizer, active).inner
+        inner = self.make_train_step(optimizer, active, log_norms).inner
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def multi_step(params, opt_state, batch_list, rng, gstep0, lr):
@@ -426,7 +430,8 @@ class MultiTaskSystem:
                                 graphone: GraphONE,
                                 backprop_temporal_graph: bool = True,
                                 temporal_graph_train_mode: bool = False,
-                                late_fusion: bool = True):
+                                late_fusion: bool = True,
+                                log_norms: bool = True):
         loss_fn = self.make_egopack_loss_fn(
             active, graphone, backprop_temporal_graph,
             temporal_graph_train_mode, late_fusion)
@@ -434,8 +439,9 @@ class MultiTaskSystem:
         def inner_step(params, opt_state, banks, batches, rng):
             (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, banks, batches, rng)
-            logs["grad_norm"] = _global_norm(grads)
-            logs["param_norm"] = _global_norm(params)
+            if log_norms:
+                logs["grad_norm"] = _global_norm(grads)
+                logs["param_norm"] = _global_norm(params)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
             return params, opt_state, logs

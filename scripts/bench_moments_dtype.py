@@ -1,12 +1,15 @@
 #!/usr/bin/env python3
-"""A/B the opt-in bf16 Adam-moments lever in ONE process (fair tunnel share).
+"""A/B opt-in step levers in ONE process (fair tunnel share).
 
-Interleaves timed windows of the production fused MTL step with f32 vs bf16
-optimizer moments (optimizer.moments_dtype), same batches, true fetch-sync.
-Prints per-arm median ms/step and the speedup. See BASELINE.md "optimizer-
-bandwidth" decomposition for why moments are the target: at batch 16 the
-step is bound by Adam's HBM traffic, and bf16 moments cut the moment
-read+write bytes in half (28 -> 20 bytes/param/step ideal = ~1.13x).
+Interleaves timed windows of the production fused MTL step across arms:
+- baseline: production defaults (f32 Adam moments, per-step grad/param norms)
+- bf16_moments: optimizer.moments_dtype=bfloat16 (halved moment HBM traffic)
+- no_norms: log_grad_norms=False (drops two global-norm reduce passes)
+- both: both levers
+
+Same batches, true fetch-sync. Prints per-arm median ms/step and speedups vs
+baseline. See BASELINE.md's step-time decomposition for why these matter: at
+batch 16 the step is bound by Adam HBM traffic plus full-tensor reductions.
 """
 
 import os
@@ -19,17 +22,24 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __graft_entry__ as ge  # noqa: E402
-from egopack_tpu.parallel import mesh as pmesh
-from egopack_tpu.train import optim as topt
+from egopack_tpu.parallel import mesh as pmesh  # noqa: E402
+from egopack_tpu.train import optim as topt  # noqa: E402
 
 BATCH = 16
 ACTIVE = ("ar", "lta", "pnr")
 SPC = 8
 STEPS = 10
-WINDOWS = 7
+WINDOWS = 5
+
+ARMS = {
+    "baseline": {"moments_dtype": "float32", "log_norms": True},
+    "bf16_moments": {"moments_dtype": "bfloat16", "log_norms": True},
+    "no_norms": {"moments_dtype": "float32", "log_norms": False},
+    "both": {"moments_dtype": "bfloat16", "log_norms": False},
+}
 
 
-def build(moments_dtype: str):
+def build(moments_dtype: str, log_norms: bool):
     import jax.numpy as jnp
     feat_dim, hidden = 1536, 1024
     system = ge._build_system(hidden, 1024, feat_dim)
@@ -43,7 +53,8 @@ def build(moments_dtype: str):
     optimizer = topt.adam(1e-5, 1e-5, trainable_mask=mask,
                           moments_dtype=moments_dtype)
     opt_state = topt.init_opt_state(optimizer, params, mesh)
-    step = system.make_train_step_multi(optimizer, ACTIVE, SPC)
+    step = system.make_train_step_multi(optimizer, ACTIVE, SPC,
+                                        log_norms=log_norms)
     b = ge._synthetic_batches(system, BATCH * mesh.shape["data"], 1536, seed=0)
     batches = {n: pmesh.shard_batch(v, mesh) for n, v in b.items()
                if n in ACTIVE}
@@ -56,21 +67,25 @@ def sync(logs):
 
 
 def main():
+    # BENCH_ARMS=baseline,no_norms selects a subset (4 compiles through the
+    # dev tunnel exceed practical command timeouts)
+    sel = os.environ.get("BENCH_ARMS")
+    arm_defs = ({k: ARMS[k] for k in sel.split(",")} if sel else ARMS)
     arms = {}
-    for name in ("float32", "bfloat16"):
-        step, params, opt_state, batch_list = build(name)
+    for name, kw in arm_defs.items():
+        step, params, opt_state, batch_list = build(**kw)
         rng = jax.random.PRNGKey(1)
         for i in range(3):  # warmup/compile
             params, opt_state, logs = step(params, opt_state, batch_list,
                                            jax.random.fold_in(rng, i),
                                            i * SPC, 1e-5)
         sync(logs)
-        arms[name] = (step, params, opt_state, batch_list, rng)
+        arms[name] = [step, params, opt_state, batch_list, rng]
 
-    times = {"float32": [], "bfloat16": []}
+    times = {name: [] for name in arms}
     for w in range(WINDOWS):
-        for name in ("float32", "bfloat16"):  # interleave arms per window
-            step, params, opt_state, batch_list, rng = arms[name]
+        for name, arm in arms.items():  # interleave arms per window
+            step, params, opt_state, batch_list, rng = arm
             t0 = time.perf_counter()
             for i in range(STEPS):
                 params, opt_state, logs = step(
@@ -78,14 +93,13 @@ def main():
                     jax.random.fold_in(rng, w * 1000 + i), i * SPC, 1e-5)
             sync(logs)
             times[name].append(time.perf_counter() - t0)
-            arms[name] = (step, params, opt_state, batch_list, rng)
+            arm[1], arm[2] = params, opt_state
 
-    out = {}
-    for name, ts in times.items():
-        med = sorted(ts)[len(ts) // 2]
-        out[name] = med / (STEPS * SPC) * 1e3  # ms/step
-    print({"ms_per_step": out,
-           "speedup_bf16_moments": out["float32"] / out["bfloat16"]})
+    out = {name: sorted(ts)[len(ts) // 2] / (STEPS * SPC) * 1e3
+           for name, ts in times.items()}  # ms/step
+    print({"ms_per_step": {k: round(v, 4) for k, v in out.items()},
+           "speedup_vs_baseline": {k: round(out["baseline"] / out[k], 4)
+                                   for k in out}})
 
 
 if __name__ == "__main__":

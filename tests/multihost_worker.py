@@ -25,6 +25,7 @@ jax.config.update("jax_platforms", "cpu")
 def main() -> None:
     coord, n_proc, pid, root = (sys.argv[1], int(sys.argv[2]),
                                 int(sys.argv[3]), sys.argv[4])
+    artifact_dir = sys.argv[5] if len(sys.argv) > 5 else None
     if coord != "single":
         jax.distributed.initialize(coord, n_proc, pid)
         assert jax.process_count() == n_proc
@@ -76,6 +77,14 @@ def main() -> None:
     checksum = float(sum(
         np.abs(np.asarray(jax.device_get(l))).sum()
         for l in jax.tree_util.tree_leaves(params)))
+
+    if artifact_dir:
+        # regression for the artifact-save deadlock: save_artifact's shard
+        # gather is a collective, so EVERY process must reach it (gating the
+        # call on process 0 would hang it while the others exit)
+        from egopack_tpu.train.checkpoint import save_artifact
+        save_artifact(artifact_dir, "MTL_ar", dict(params))
+
     print(json.dumps({"pid": pid, "loss": loss, "checksum": checksum}),
           flush=True)
 

@@ -66,6 +66,42 @@ def test_loader_process_sharding_reassembles(ego4d_root):
             fb["valid"], np.concatenate([s0["valid"], s1["valid"]]))
 
 
+class _RngSensitiveDS:
+    """Stub dataset whose samples depend on the augmentation rng — the real
+    AR windows in the synthetic fixture are too short for jitter to fire, so
+    this pins the contract directly."""
+
+    def __len__(self):
+        return 37
+
+    def get(self, idx, rng=None):
+        jitter = (rng.standard_normal(4).astype(np.float32)
+                  if rng is not None else np.zeros(4, np.float32))
+        return {"x": np.full(4, idx, np.float32) + jitter, "y": np.int32(idx)}
+
+
+def test_loader_sharding_reassembles_rng_dependent_augmentation():
+    """Sample augmentation draws are keyed by GLOBAL dataset index, so
+    process shards produce bit-identical jitter to the unsharded loader (and
+    processes never share correlated streams)."""
+    ds = _RngSensitiveDS()
+    full = build_dataloader(ds, 8, True, 0, True, seed=5)
+    shards = [build_dataloader(ds, 8, True, 0, True, seed=5,
+                               process_shard=(p, 2)) for p in range(2)]
+    full.set_epoch(2)
+    for s in shards:
+        s.set_epoch(2)
+    full_batches = list(full)
+    assert full_batches  # non-trivial epoch
+    for fb, s0, s1 in zip(full_batches, *[list(s) for s in shards]):
+        np.testing.assert_array_equal(
+            fb["x"], np.concatenate([s0["x"], s1["x"]], axis=0))
+    # different epochs redraw different jitter for the same sample
+    full.set_epoch(3)
+    again = list(full)
+    assert not np.array_equal(full_batches[0]["x"], again[0]["x"])
+
+
 def test_two_process_distributed_matches_single_process(ego4d_root, tmp_path):
     """REAL jax.distributed over localhost: 2 processes x 2 virtual CPU
     devices run one fused train step on their shards of the same global
@@ -76,10 +112,11 @@ def test_two_process_distributed_matches_single_process(ego4d_root, tmp_path):
     workers = []
     env = dict(os.environ, PYTHONPATH=REPO)
     env.pop("XLA_FLAGS", None)
+    art_dir = str(tmp_path / "artifacts")
     for pid in range(2):
         workers.append(subprocess.Popen(
             [sys.executable, osp.join(REPO, "tests", "multihost_worker.py"),
-             coord, "2", str(pid), str(ego4d_root)],
+             coord, "2", str(pid), str(ego4d_root), art_dir],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             env=env, cwd=REPO))
     outs = []
@@ -94,6 +131,10 @@ def test_two_process_distributed_matches_single_process(ego4d_root, tmp_path):
 
     assert outs[0]["loss"] == pytest.approx(outs[1]["loss"], abs=1e-7)
     assert outs[0]["checksum"] == pytest.approx(outs[1]["checksum"], rel=1e-7)
+
+    # both processes exited cleanly through the collective artifact save and
+    # process 0 wrote the file (deadlock regression)
+    assert osp.exists(osp.join(art_dir, "MTL_ar", "checkpoint.msgpack"))
 
     # single-process control run over the same 4-device mesh + global batch
     ctl_env = dict(env)
