@@ -250,16 +250,20 @@ class Ego4dLTADataset(Ego4dFHODataset):
         starts, sizes = self._windows[ann.clip_uid]
         inputs = self._gather_windows(ann.video_uid, starts[ann.input_sel],
                                       sizes[ann.input_sel], use_rng)
-        x = np.empty((n,) + inputs.shape[1:], np.float32)
-        x[:self.n_input_clips] = inputs
         if self.append_node == "random":
+            # host rng fill is not reproducible on device: keep the full
+            # layout (reference /root/reference/data/ego4d_fho.py:384-391)
             gen = rng or np.random.default_rng(0)
+            x = np.empty((n,) + inputs.shape[1:], np.float32)
+            x[:self.n_input_clips] = inputs
             x[self.n_input_clips:] = gen.random(
                 (self.n_forecast_clips,) + inputs.shape[1:], np.float32)
-        elif self.append_node == "zero":
-            x[self.n_input_clips:] = 0.0
-        else:  # avg (reference default in configs)
-            x[self.n_input_clips:] = inputs.mean(0)
+        else:  # avg (reference default) / zero: the forecast nodes are a
+            # deterministic function of the inputs — ship COMPACT and let the
+            # jitted step broadcast them on device
+            # (MultiTaskSystem.expand_x), deleting the dominant host memcpy
+            # and ~10× of this task's H2D bytes
+            x = inputs
         return {"x": x, "y": y, "clip_uid": ann.clip_uid, "last_idx": ann.id}
 
 

@@ -228,8 +228,9 @@ class Ego4dPNRDataset(Ego4dOSCCDataset):
             y = np.full(self.num_segments, -1, dtype=np.int32)
 
         # nodes carry the frame feature repeated 3× (reference :291) so the
-        # TRN pooling sees the standard (N, 3, D) layout
-        x = np.repeat(x[:, None, :], 3, axis=1)
+        # TRN pooling sees the standard (N, 3, D) layout — the repeat happens
+        # ON DEVICE (MultiTaskSystem.expand_x); shipping (N, D) compact cuts
+        # this task's H2D bytes 3×
         return {
             "x": x, "y": y, "uid": seg.unique_uid,
             "start_frame": np.float32(start_frame),

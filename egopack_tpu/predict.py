@@ -120,8 +120,13 @@ class Predictor:
         specs = {"ar": ar_spec(9, cfg.k), "oscc": oscc_spec(cfg.k),
                  "lta": lta_spec(k=cfg.k), "pnr": pnr_spec(16, cfg.k)}
         specs[task] = dset.graph_spec(cfg.k)
+        lta_append = (dset.append_node if task == "lta"
+                      else cfg.dataset_lta.get("append_node", "avg"))
         self.system = MultiTaskSystem(
-            backbone, {n: TaskSetup(n, heads[n], specs[n]) for n in heads})
+            backbone, {n: TaskSetup(
+                n, heads[n], specs[n],
+                append_node=lta_append if n == "lta" else None)
+                for n in heads})
         params = self.system.init_params(jax.random.PRNGKey(cfg.seed),
                                          dset.features_size)
         params = merge_loaded_params(params, loaded)

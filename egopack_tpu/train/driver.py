@@ -130,7 +130,9 @@ def build_system(cfg, dsets, phase2: bool = False) -> MultiTaskSystem:
     tasks = {
         name: TaskSetup(name, heads[name],
                         dsets[name]["train"].graph_spec(k=cfg.k),
-                        weights[name])
+                        weights[name],
+                        append_node=(dsets[name]["train"].append_node
+                                     if name == "lta" else None))
         for name in TASKS
     }
     dtype = jnp.bfloat16 if str(cfg.get("compute_dtype", "float32")) == "bfloat16" \

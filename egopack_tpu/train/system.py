@@ -45,6 +45,10 @@ class TaskSetup:
     head: Any  # linen head module
     spec: GraphSpec
     weight: float = 1.0
+    # LTA forecast-node fill mode ("avg"/"zero"): lets the loader ship ONLY
+    # the real input clips and the jitted step materialize the redundant
+    # forecast nodes on device (see MultiTaskSystem.expand_x)
+    append_node: Optional[str] = None
 
 
 def lta_full_adjacency(base_adj: jax.Array, y: jax.Array, radius: float,
@@ -129,12 +133,54 @@ class MultiTaskSystem:
         return params
 
     # ---------------- forward pieces ----------------
+    def expand_x(self, name: str, x: jax.Array) -> jax.Array:
+        """Materialize COMPACT host batches into the full dense node layout
+        ON DEVICE (shape-gated and static under jit; full batches pass
+        through untouched). The host pipeline ships only non-redundant
+        bytes — at the reference batch size this cuts per-step H2D traffic
+        ~2.5× (7.5 → 3.0 MB):
+
+        - PNR compact ``(B, N, D)``: each frame feature repeats S× per node
+          (reference /root/reference/data/ego4d_oscc.py:291 does the repeat
+          host-side) → ``(B, N, S, D)``.
+        - LTA compact ``(B, n_input, S, D)``: the 20 forecast nodes are a
+          broadcast of the input mean (or zeros) —
+          /root/reference/data/ego4d_fho.py:384-391 fills them host-side —
+          → ``(B, num_nodes, S, D)``. ``append_node="random"`` keeps the
+          host-side full layout (host rng is not reproducible on device).
+        """
+        setup = self.tasks[name]
+        if x.ndim == 3:
+            x = jnp.repeat(x[:, :, None, :], self.backbone.num_segments,
+                           axis=2)
+        n = setup.spec.num_nodes
+        if x.shape[1] != n:
+            n_fill = n - x.shape[1]
+            mode = setup.append_node or "avg"
+            if mode == "avg":
+                fill = jnp.broadcast_to(
+                    jnp.mean(x, axis=1, keepdims=True),
+                    (x.shape[0], n_fill) + x.shape[2:])
+            elif mode == "zero":
+                fill = jnp.zeros((x.shape[0], n_fill) + x.shape[2:], x.dtype)
+            else:
+                raise ValueError(
+                    f"compact batch for {name} with append_node={mode}; "
+                    "the loader must ship the full layout for this mode")
+            x = jnp.concatenate([x, fill], axis=1)
+        return x
+
+    def _fuse_sig(self, x) -> Tuple[int, int]:
+        """(segments, feature_dim) AFTER expansion — what fusion compares."""
+        s = self.backbone.num_segments if x.ndim == 3 else x.shape[2]
+        return (s, x.shape[-1])
+
     def backbone_features(self, params, batch, name: str, train: bool,
                           rng: Optional[jax.Array]) -> Tuple[jax.Array, jax.Array]:
         """Run the shared backbone on one task's dense batch; returns
         (features (B, N, H), node_mask (B, N))."""
         setup = self.tasks[name]
-        x = batch["x"].astype(self.compute_dtype)
+        x = self.expand_x(name, batch["x"]).astype(self.compute_dtype)
         y = batch["y"]
         valid = batch["valid"]
         node_mask = jnp.broadcast_to(valid[:, None], x.shape[:2])
@@ -172,7 +218,8 @@ class MultiTaskSystem:
         (num_segments=3 everywhere; PNR repeats frames 3×)."""
         xs, metas = [], []
         for name in names:
-            x = batches[name]["x"].astype(self.compute_dtype)
+            x = self.expand_x(name, batches[name]["x"]).astype(
+                self.compute_dtype)
             b, n = x.shape[0], x.shape[1]
             xs.append(x.reshape(1, b * n, x.shape[2], x.shape[3]))
             metas.append((name, b, n))
@@ -197,7 +244,7 @@ class MultiTaskSystem:
                 for (name, _, _), feat, mask in zip(metas, feats, masks)}
 
     def _can_fuse(self, batches, names) -> bool:
-        shapes = {tuple(batches[n]["x"].shape[2:]) for n in names}
+        shapes = {self._fuse_sig(batches[n]["x"]) for n in names}
         return len(shapes) == 1 and len(names) > 1
 
     # ---------------- phase 1: fused MTL step ----------------

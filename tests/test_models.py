@@ -293,3 +293,58 @@ def test_graphone_l2_and_shared_params():
     out2, _ = g.apply(params, feats_same, banks_same, method="interact")
     np.testing.assert_allclose(np.asarray(out2["ar"]), np.asarray(out2["lta"]),
                                atol=1e-6)
+
+
+def test_compact_batch_expansion_bitwise_equals_full():
+    """COMPACT host layouts (LTA input-clips-only, PNR un-repeated frames)
+    expand on device to exactly the tensors the host used to ship
+    (MultiTaskSystem.expand_x); full layouts pass through untouched."""
+    from egopack_tpu.data.graphs import lta_spec, pnr_spec
+    from egopack_tpu.models.backbone import TemporalGraph
+    from egopack_tpu.models.heads import LTATask, PNRTask
+    from egopack_tpu.train.system import MultiTaskSystem, TaskSetup
+
+    backbone = TemporalGraph(
+        input_size=8, hidden_size=16, depth=1,
+        temporal_pooling={"_target_": "egopack_tpu.models.pooling.TRNPooling",
+                          "hidden_size": 16, "dropout": 0.0},
+        num_segments=3)
+    tasks = {
+        "lta": TaskSetup("lta", LTATask(name_="lta", input_size=16,
+                                        features_size=16, heads=(4, 5)),
+                         lta_spec(), append_node="avg"),
+        "pnr": TaskSetup("pnr", PNRTask(name_="pnr", input_size=16,
+                                        features_size=16), pnr_spec()),
+    }
+    system = MultiTaskSystem(backbone, tasks)
+    rng = np.random.default_rng(0)
+
+    # LTA: compact (B, 2, S, D) == host-filled full (B, 22, S, D)
+    inputs = rng.standard_normal((3, 2, 3, 8)).astype(np.float32)
+    full = np.concatenate(
+        [inputs, np.broadcast_to(inputs.mean(1, keepdims=True),
+                                 (3, 20, 3, 8))], axis=1)
+    out = np.asarray(system.expand_x("lta", jnp.asarray(inputs)))
+    np.testing.assert_array_equal(out, full)
+    passthrough = np.asarray(system.expand_x("lta", jnp.asarray(full)))
+    np.testing.assert_array_equal(passthrough, full)
+
+    # PNR: compact (B, N, D) == host-repeated (B, N, 3, D)
+    frames = rng.standard_normal((3, 16, 8)).astype(np.float32)
+    full_pnr = np.repeat(frames[:, :, None, :], 3, axis=2)
+    out = np.asarray(system.expand_x("pnr", jnp.asarray(frames)))
+    np.testing.assert_array_equal(out, full_pnr)
+
+    # zero mode
+    tasks["lta"] = TaskSetup("lta", tasks["lta"].head, lta_spec(),
+                             append_node="zero")
+    sz = MultiTaskSystem(backbone, tasks)
+    out = np.asarray(sz.expand_x("lta", jnp.asarray(inputs)))
+    assert (out[:, 2:] == 0).all() and np.array_equal(out[:, :2], inputs)
+
+    # random mode must refuse compact input
+    tasks["lta"] = TaskSetup("lta", tasks["lta"].head, lta_spec(),
+                             append_node="random")
+    sr = MultiTaskSystem(backbone, tasks)
+    with pytest.raises(ValueError):
+        sr.expand_x("lta", jnp.asarray(inputs))
