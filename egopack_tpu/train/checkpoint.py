@@ -142,11 +142,34 @@ def merge_loaded_params(params: Dict[str, Any], loaded: Dict[str, Any]) -> Dict[
 
 # ---------------- full-state mid-run resume (orbax) ----------------
 
-def save_state(ckpt_dir: str, step: int, state: Dict[str, Any]) -> None:
+_async_ckptr = None
+
+
+def save_state(ckpt_dir: str, step: int, state: Dict[str, Any],
+               async_write: bool = False) -> None:
+    """Per-epoch full-state checkpoint. ``async_write=True`` fetches the
+    state to host synchronously (cheap) and hands the file write to orbax's
+    background thread so training never stalls on disk; call
+    ``wait_for_saves()`` before reading the directory or exiting."""
     import orbax.checkpoint as ocp
     path = osp.abspath(osp.join(ckpt_dir, f"step_{step:06d}"))
+    host_state = _to_numpy(state)
+    if async_write:
+        global _async_ckptr
+        if _async_ckptr is None:
+            _async_ckptr = ocp.AsyncCheckpointer(
+                ocp.StandardCheckpointHandler())
+        _async_ckptr.save(path, args=ocp.args.StandardSave(host_state),
+                          force=True)
+        return
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, _to_numpy(state), force=True)
+        ckptr.save(path, host_state, force=True)
+
+
+def wait_for_saves() -> None:
+    """Block until every pending async checkpoint write has committed."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
 
 
 def latest_state(ckpt_dir: str) -> Optional[int]:

@@ -27,7 +27,7 @@ from ..parallel import multihost as mh
 from ..train import optim as topt
 from ..train.checkpoint import (latest_state, load_artifact,
                                 merge_loaded_params, restore_state,
-                                save_artifact, save_state)
+                                save_artifact, save_state, wait_for_saves)
 from ..train.system import CKPT_KEYS, MultiTaskSystem, TaskSetup
 from ..utils.logging import (NullLogger, RunLogger, format_run_name,
                              setup_logging)
@@ -402,7 +402,9 @@ def train_mtl(cfg) -> Dict[str, Any]:
 
         if cfg.checkpoint.enable and epoch % cfg.checkpoint.every == 0:
             save_state(cfg.checkpoint.dir, epoch,
-                       {"params": params, "opt_state": opt_state, "rng": rng})
+                       {"params": params, "opt_state": opt_state, "rng": rng},
+                       async_write=bool(cfg.checkpoint.get("async_write",
+                                                           False)))
 
         # validate only in the last 5 epochs (main_temporal.py:342-343)
         if epoch < (cfg.num_epochs - 5):
@@ -412,6 +414,7 @@ def train_mtl(cfg) -> Dict[str, Any]:
                                       eval_steps, sample_fn,
                                       jax.random.fold_in(rng, 2), mesh=mesh)
 
+    wait_for_saves()
     result = {"params": params, "system": system, "dsets": dsets,
               "val_metrics": val_metrics, "run_dir": run_logger.dir}
     if cfg.save_model:
@@ -615,6 +618,12 @@ def train_egopack(cfg) -> Dict[str, Any]:
                         **{f"train/{k}": v for k, v in epoch_norms.items()}},
                        step=epoch)
 
+        if cfg.checkpoint.enable and epoch % cfg.checkpoint.every == 0:
+            save_state(cfg.checkpoint.dir, epoch,
+                       {"params": params, "opt_state": opt_state, "rng": rng},
+                       async_write=bool(cfg.checkpoint.get("async_write",
+                                                           False)))
+
         val_metrics = _run_validation(cfg, system, params, banks, dsets,
                                       task_weights, epoch, run_logger,
                                       eval_steps, sample_fn,
@@ -622,6 +631,7 @@ def train_egopack(cfg) -> Dict[str, Any]:
                                       force_all=cfg.validate_all_tasks,
                                       mesh=mesh)
 
+    wait_for_saves()
     result = {"params": params, "banks": banks, "system": system,
               "dsets": dsets, "graphone": graphone,
               "val_metrics": val_metrics, "run_dir": run_logger.dir}
