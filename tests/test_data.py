@@ -241,3 +241,28 @@ def test_batch_sampling_indices_matches_per_row():
                                                    0, s))).all()
             else:
                 np.testing.assert_array_equal(got[i], base.astype(int))
+
+
+def test_oscc_remove_overlapping_segments():
+    """Train-time overlap filter (reference data/ego4d_oscc.py:81-98): a
+    positive (has parent_pnr_frame) and a negative interval of the SAME video
+    that overlap on closed [start_sec, end_sec] are BOTH dropped; different
+    videos and non-overlapping pairs survive."""
+    from egopack_tpu.data.osccpnr import Ego4dOSCCDataset
+
+    def clip(uid, video, s, e, pnr):
+        return {"unique_id": uid, "video_uid": video,
+                "parent_start_sec": s, "parent_end_sec": e,
+                "parent_pnr_frame": pnr}
+
+    clips = [
+        clip("p_hit", "vidA", 0.0, 8.0, 120),    # overlaps n_hit -> dropped
+        clip("n_hit", "vidA", 7.5, 15.0, None),  # overlaps p_hit -> dropped
+        clip("p_edge", "vidA", 20.0, 28.0, 700), # touches n_edge at 28.0
+        clip("n_edge", "vidA", 28.0, 36.0, None),# closed interval -> BOTH out
+        clip("p_far", "vidA", 50.0, 58.0, 1600), # no neg overlap -> kept
+        clip("n_far", "vidA", 70.0, 78.0, None), # no pos overlap -> kept
+        clip("p_othervid", "vidB", 0.0, 8.0, 99),# vidB: no neg at all -> kept
+    ]
+    out = Ego4dOSCCDataset._remove_overlapping(clips)
+    assert {c["unique_id"] for c in out} == {"p_far", "n_far", "p_othervid"}
