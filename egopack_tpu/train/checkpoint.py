@@ -159,6 +159,11 @@ def save_state(ckpt_dir: str, step: int, state: Dict[str, Any],
         if _async_ckptr is None:
             _async_ckptr = ocp.AsyncCheckpointer(
                 ocp.StandardCheckpointHandler())
+            # exceptions in the train loop bypass the drivers' explicit
+            # wait_for_saves(); commit pending writes at interpreter exit so
+            # the last checkpoint isn't lost to an uncaught error
+            import atexit
+            atexit.register(wait_for_saves)
         _async_ckptr.save(path, args=ocp.args.StandardSave(host_state),
                           force=True)
         return
@@ -173,10 +178,15 @@ def wait_for_saves() -> None:
 
 
 def latest_state(ckpt_dir: str) -> Optional[int]:
+    """Newest COMMITTED step. Only exact ``step_<n>`` directories count —
+    a crash mid-async-save leaves orbax temp dirs
+    (``step_<n>.orbax-checkpoint-tmp-<ts>``) behind, which must not break
+    the next run's resume (they are uncommitted by definition)."""
+    import re
     if not osp.isdir(ckpt_dir):
         return None
-    steps = [int(d.split("_")[1]) for d in os.listdir(ckpt_dir)
-             if d.startswith("step_")]
+    steps = [int(m.group(1)) for d in os.listdir(ckpt_dir)
+             if (m := re.fullmatch(r"step_(\d+)", d))]
     return max(steps) if steps else None
 
 

@@ -9,6 +9,7 @@ mesh-sharded execution, local artifacts with the reference's naming contract.
 from __future__ import annotations
 
 import logging
+import os.path as osp
 import time
 from typing import Any, Dict
 
@@ -269,6 +270,10 @@ def train_mtl(cfg) -> Dict[str, Any]:
         logger.info(" - Weight of %s is %s", t, w)
     name = artifact_name(cfg, task_weights)
     logger.info("This run will provide artifact %s.", name)
+    # per-phase/per-run namespace: phase-1 and phase-2 full-state checkpoints
+    # have incompatible structures (graphone subtree, different masks) and
+    # must never resolve to each other's files under the default dir
+    ckpt_dir = osp.join(cfg.checkpoint.dir, f"mtl_{name}")
 
     dsets = build_datasets(cfg)
     system = build_system(cfg, dsets, phase2=False)
@@ -303,11 +308,11 @@ def train_mtl(cfg) -> Dict[str, Any]:
     # mid-run resume: restore the newest full-state checkpoint if present
     start_epoch = 1
     if cfg.checkpoint.enable:
-        last = latest_state(cfg.checkpoint.dir)
+        last = latest_state(ckpt_dir)
         if last is not None:
             opt_shardings = jax.tree_util.tree_map(lambda x: x.sharding,
                                                    opt_state)
-            state = restore_state(cfg.checkpoint.dir, last,
+            state = restore_state(ckpt_dir, last,
                                   {"params": params, "opt_state": opt_state,
                                    "rng": rng})
             params, rng = state["params"], state["rng"]
@@ -401,7 +406,7 @@ def train_mtl(cfg) -> Dict[str, Any]:
                        step=epoch)
 
         if cfg.checkpoint.enable and epoch % cfg.checkpoint.every == 0:
-            save_state(cfg.checkpoint.dir, epoch,
+            save_state(ckpt_dir, epoch,
                        {"params": params, "opt_state": opt_state, "rng": rng},
                        async_write=bool(cfg.checkpoint.get("async_write",
                                                            False)))
@@ -537,13 +542,15 @@ def train_egopack(cfg) -> Dict[str, Any]:
     def sample_fn(logits, key):
         return lta_head.generate_from_logits(logits, key)
 
+    ckpt_dir = osp.join(cfg.checkpoint.dir,
+                        f"egopack_{artifact_name(cfg, task_weights)}")
     start_epoch = 1
     if cfg.checkpoint.enable:
-        last = latest_state(cfg.checkpoint.dir)
+        last = latest_state(ckpt_dir)
         if last is not None:
             opt_shardings = jax.tree_util.tree_map(lambda x: x.sharding,
                                                    opt_state)
-            state = restore_state(cfg.checkpoint.dir, last,
+            state = restore_state(ckpt_dir, last,
                                   {"params": params, "opt_state": opt_state,
                                    "rng": rng})
             params, rng = state["params"], state["rng"]
@@ -619,7 +626,7 @@ def train_egopack(cfg) -> Dict[str, Any]:
                        step=epoch)
 
         if cfg.checkpoint.enable and epoch % cfg.checkpoint.every == 0:
-            save_state(cfg.checkpoint.dir, epoch,
+            save_state(ckpt_dir, epoch,
                        {"params": params, "opt_state": opt_state, "rng": rng},
                        async_write=bool(cfg.checkpoint.get("async_write",
                                                            False)))

@@ -222,7 +222,9 @@ def test_egopack_midrun_async_checkpoint_resume(mtl_run):
     ck = ["checkpoint.enable=True", f"checkpoint.dir={tmp}/ck_ego",
           "checkpoint.async_write=True"]
     main_egopack.main(_mtl_overrides(root, tmp, common + ck + ["num_epochs=1"]))
-    assert osp.isdir(osp.join(tmp, "ck_ego", "step_000001"))
+    # per-phase namespace: phase-2 checkpoints never collide with phase-1's
+    assert osp.isdir(osp.join(tmp, "ck_ego", "egopack_MTL_oscc",
+                              "step_000001"))
     resumed = main_egopack.main(
         _mtl_overrides(root, tmp, common + ck + ["num_epochs=2"]))
     for a, b in zip(jax.tree_util.tree_leaves(resumed["params"]),

@@ -238,3 +238,13 @@ def test_compilation_cache_and_profiler_outputs(ego4d_root, tmp_path):
     assert os.path.isdir(cache) and len(os.listdir(cache)) > 0
     assert glob.glob(profile + "/**/*.xplane.pb", recursive=True), \
         "profiler trace not written"
+
+
+def test_latest_state_ignores_orbax_tmp_dirs(tmp_path):
+    """A crash mid-async-save leaves step_<n>.orbax-checkpoint-tmp-<ts>
+    behind; resume must pick the newest COMMITTED step, not crash."""
+    from egopack_tpu.train.checkpoint import latest_state
+    (tmp_path / "step_000003").mkdir()
+    (tmp_path / "step_000005.orbax-checkpoint-tmp-1234567").mkdir()
+    (tmp_path / "step_junk").mkdir()
+    assert latest_state(str(tmp_path)) == 3
