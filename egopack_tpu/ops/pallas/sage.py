@@ -19,7 +19,6 @@ Enable per call via ``DenseSAGEConv(..)``'s ``impl`` or globally with
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ import numpy as np
 from ..config import instantiate, to_container
 from ..data.loader import MultiLoader, build_dataloader, device_prefetch
 from ..eval.meters import build_meter_for_dataset
-from ..eval.validate import validate, validate_lta, validate_pnr, _device_batch
+from ..eval.validate import validate, validate_lta, validate_pnr
 from ..models.graphone import (GraphONE, build_prototypes, make_prototype_step)
 from ..models.heads import LTATask, OSCCTask, PNRTask, RecognitionTask
 from ..parallel import mesh as pmesh

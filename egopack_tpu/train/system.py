@@ -24,7 +24,6 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..data.graphs import GraphSpec
 from ..models.backbone import TemporalGraph

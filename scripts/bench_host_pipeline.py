@@ -22,7 +22,6 @@ import os.path as osp
 import sys
 import time
 
-import numpy as np
 
 REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
 sys.path.insert(0, REPO)
