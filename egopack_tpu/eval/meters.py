@@ -29,6 +29,10 @@ class BaseMeter:
         self._samples = 0
         self._pre_features: List[np.ndarray] = []
         self._post_features: List[np.ndarray] = []
+        # epoch-end metrics are O(val set) to compute and the driver reads
+        # them several times (print_logs + run_logger + return value);
+        # compute once per update-generation
+        self._logs_cache = None
 
     def update_features(self, pre=None, post=None):
         if not self.save_features:
@@ -52,10 +56,16 @@ class BaseMeter:
         return TSNE(2, perplexity=perplexity).fit_transform(data)
 
     def update_loss(self, loss: float, n: int = 1):
+        """Equal-weight batch mean: the reference feeds the per-batch scalar
+        loss to a torchmetrics MeanMetric with weight 1 per update
+        (/root/reference/utils/meters/base.py:14,23), NOT weighted by batch
+        size; ``n`` only feeds the sample counter."""
         if np.isnan(loss):
             raise ValueError("NaN loss in meter (reference nan_strategy=error)")
-        self._loss_sum += float(loss) * n
-        self._loss_count += n
+        self._logs_cache = None
+        self._loss_sum += float(loss)
+        self._loss_count += 1
+        self._samples += n
 
     @property
     def loss(self) -> float:
@@ -65,6 +75,11 @@ class BaseMeter:
         return [f"Loss: {self.loss:.4f}"]
 
     def get_logs(self) -> Dict[str, float]:
+        if self._logs_cache is None:
+            self._logs_cache = self._logs()
+        return dict(self._logs_cache)
+
+    def _logs(self) -> Dict[str, float]:
         return {"loss": self.loss}
 
 
@@ -146,22 +161,22 @@ class Ego4dRecognitionMeter(BaseMeter):
         return {"top2_confusion": top2_rows, "class_acc": per_class}
 
     def print_logs(self) -> List[str]:
-        v, n = self._compute("verbs"), self._compute("nouns")
+        logs = self.get_logs()
         return [
             "Verbs Top-1: {:.2f}, Top-2: {:.2f}, Top-3: {:.2f}, Top-5: {:.2f}".format(
-                *(v[f"verbs_top{k}"] * 100 for k in (1, 2, 3, 5))),
+                *(logs[f"verbs_top{k}"] * 100 for k in (1, 2, 3, 5))),
             "Nouns Top-1: {:.2f}, Top-2: {:.2f}, Top-3: {:.2f}, Top-5: {:.2f}".format(
-                *(n[f"nouns_top{k}"] * 100 for k in (1, 2, 3, 5))),
-            f"Verbs Mean class: {v['verbs_mc'] * 100:.2f}",
-            f"Nouns Mean class: {n['nouns_mc'] * 100:.2f}",
-            f"Verbs Brier score: {v['verbs_brier_score']:.4f}",
-            f"Nouns Brier score: {n['nouns_brier_score']:.4f}",
+                *(logs[f"nouns_top{k}"] * 100 for k in (1, 2, 3, 5))),
+            f"Verbs Mean class: {logs['verbs_mc'] * 100:.2f}",
+            f"Nouns Mean class: {logs['nouns_mc'] * 100:.2f}",
+            f"Verbs Brier score: {logs['verbs_brier_score']:.4f}",
+            f"Nouns Brier score: {logs['nouns_brier_score']:.4f}",
             *super().print_logs(),
         ]
 
-    def get_logs(self) -> Dict[str, float]:
+    def _logs(self) -> Dict[str, float]:
         return {**self._compute("verbs"), **self._compute("nouns"),
-                **super().get_logs()}
+                **super()._logs()}
 
 
 class Ego4dOSCCMeter(BaseMeter):
@@ -182,10 +197,11 @@ class Ego4dOSCCMeter(BaseMeter):
                                      np.concatenate(self._labels), 1)
 
     def print_logs(self) -> List[str]:
-        return [f"Accuracy: {self.accuracy * 100:.2f}", *super().print_logs()]
+        return [f"Accuracy: {self.get_logs()['accuracy'] * 100:.2f}",
+                *super().print_logs()]
 
-    def get_logs(self) -> Dict[str, float]:
-        return {"accuracy": self.accuracy, **super().get_logs()}
+    def _logs(self) -> Dict[str, float]:
+        return {"accuracy": self.accuracy, **super()._logs()}
 
 
 class Ego4dPNRMeter(BaseMeter):
@@ -215,7 +231,7 @@ class Ego4dPNRMeter(BaseMeter):
                 gt = pf - sf
                 self.loc_errors.append(abs(pred_mapped - gt) / 30.0)
 
-    def get_logs(self) -> Dict[str, float]:
+    def _logs(self) -> Dict[str, float]:
         probs = np.concatenate(self._probs)
         labels = np.concatenate(self._labels)
         return {
@@ -224,7 +240,7 @@ class Ego4dPNRMeter(BaseMeter):
             "auroc": M.binary_auroc(probs, labels),
             "localization_error": float(np.mean(self.loc_errors))
             if self.loc_errors else 0.0,
-            **super().get_logs(),
+            **super()._logs(),
         }
 
     def print_logs(self) -> List[str]:
@@ -266,7 +282,7 @@ class Ego4dLTAMeter(BaseMeter):
         self._ed_nouns.extend(M.sequence_edit_distance(pn[:, ni:], ln[:, ni:]))
         self.update_loss(loss, labels.shape[0])
 
-    def get_logs(self) -> Dict[str, float]:
+    def _logs(self) -> Dict[str, float]:
         return {
             "verbs_ed": float(np.mean(self._ed_verbs)) if self._ed_verbs else 0.0,
             "nouns_ed": float(np.mean(self._ed_nouns)) if self._ed_nouns else 0.0,
@@ -274,7 +290,7 @@ class Ego4dLTAMeter(BaseMeter):
                                                 np.concatenate(self._v_labels), 1),
             "nouns_top1": M.topk_accuracy_micro(np.concatenate(self._n_logits),
                                                 np.concatenate(self._n_labels), 1),
-            **super().get_logs(),
+            **super()._logs(),
         }
 
     def print_logs(self) -> List[str]:
@@ -303,7 +319,7 @@ class Ego4dAnticipationMeter(BaseMeter):
         self._n_logits.append(nl[nm]); self._n_labels.append(labels[nm, 1])
         self.update_loss(loss, labels.shape[0])
 
-    def get_logs(self) -> Dict[str, float]:
+    def _logs(self) -> Dict[str, float]:
         vl, vt = np.concatenate(self._v_logits), np.concatenate(self._v_labels)
         nl, nt = np.concatenate(self._n_logits), np.concatenate(self._n_labels)
         out = {}
@@ -312,7 +328,7 @@ class Ego4dAnticipationMeter(BaseMeter):
             out[f"nouns_accuracy_top{k}"] = M.topk_accuracy_micro(nl, nt, k)
             out[f"verbs_recall_top{k}"] = M.topk_recall(vl, vt, k)
             out[f"nouns_recall_top{k}"] = M.topk_recall(nl, nt, k)
-        out.update(super().get_logs())
+        out.update(super()._logs())
         return out
 
 

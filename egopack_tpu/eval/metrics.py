@@ -115,7 +115,9 @@ def calibration_error(logits: np.ndarray, labels: np.ndarray,
 
 def binary_accuracy(probs: np.ndarray, labels: np.ndarray,
                     threshold: float = 0.5) -> float:
-    return float(((probs >= threshold).astype(int) == labels).mean())
+    # strict > like torchmetrics BinaryAccuracy (prob exactly 0.5 — e.g. a
+    # zero logit — counts as the NEGATIVE class there)
+    return float(((probs > threshold).astype(int) == labels).mean())
 
 
 def binary_recall(probs: np.ndarray, labels: np.ndarray,
@@ -123,7 +125,7 @@ def binary_recall(probs: np.ndarray, labels: np.ndarray,
     pos = labels == 1
     if not pos.any():
         return 0.0
-    return float((probs[pos] >= threshold).mean())
+    return float((probs[pos] > threshold).mean())
 
 
 def binary_auroc(probs: np.ndarray, labels: np.ndarray) -> float:

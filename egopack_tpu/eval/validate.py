@@ -9,11 +9,9 @@ epoch reuses one compiled program; meters consume numpy on host.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..data.loader import device_batch as _device_batch
-from ..ops.losses import masked_mean
 from .meters import BaseMeter
 
 
@@ -21,6 +19,15 @@ def _node_mask(batch) -> np.ndarray:
     valid = np.asarray(batch["valid"])
     n = batch["y"].shape[1] if batch["y"].ndim > 1 else None
     return np.repeat(valid[:, None], n, 1) if n else valid
+
+
+def _host_masked_mean(per_elem, mask: np.ndarray) -> float:
+    """ops.losses.masked_mean math in numpy: one D2H fetch of the per-element
+    losses, zero eager device ops (each of which round-trips the remote-TPU
+    tunnel — CLAUDE.md environment rules)."""
+    pe = np.asarray(per_elem, np.float32)
+    m = mask.astype(np.float32)
+    return float((pe * m).sum() / max(m.sum(), 1.0))
 
 
 def validate(eval_step, params, banks, loader, meter: BaseMeter,
@@ -33,8 +40,8 @@ def validate(eval_step, params, banks, loader, meter: BaseMeter,
     for batch in loader:
         logits, per_elem, feat, _ = eval_step(params, put(batch), banks)
         valid = np.asarray(batch["valid"])
-        loss = float(masked_mean(per_elem, jnp.asarray(
-            valid if per_elem.ndim == 1 else _node_mask(batch))))
+        loss = _host_masked_mean(
+            per_elem, valid if per_elem.ndim == 1 else _node_mask(batch))
         y = np.asarray(batch["y"])
         if meter.save_features:
             # reference: pre = raw segment-mean, post = task-projected
@@ -62,7 +69,7 @@ def validate_lta(eval_step, params, banks, loader, meter: BaseMeter,
         logits, per_elem, _, _ = eval_step(params, put(batch), banks)
         preds, logits = sample_fn(logits, jax.random.fold_in(rng, i))
         valid = np.asarray(batch["valid"])
-        loss = float(masked_mean(per_elem, jnp.asarray(_node_mask(batch))))
+        loss = _host_masked_mean(per_elem, _node_mask(batch))
         y = np.asarray(batch["y"])
         flat = lambda a: np.asarray(a)[valid].reshape((-1,) + np.asarray(a).shape[2:])
         meter.update((flat(logits[0]), flat(logits[1])),
@@ -79,7 +86,7 @@ def validate_pnr(eval_step, params, banks, loader, meter: BaseMeter,
     for batch in loader:
         logits, per_elem, _, _ = eval_step(params, put(batch), banks)
         valid = np.asarray(batch["valid"])
-        loss = float(masked_mean(per_elem, jnp.asarray(_node_mask(batch))))
+        loss = _host_masked_mean(per_elem, _node_mask(batch))
         meter.update(np.asarray(logits)[valid],
                      np.asarray(batch["y"])[valid], loss,
                      start_frame=np.asarray(batch["start_frame"])[valid],

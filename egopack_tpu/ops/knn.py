@@ -26,10 +26,18 @@ def cosine_dissimilarity(features: jax.Array, bank: jax.Array) -> jax.Array:
 
 
 def l2_distance(features: jax.Array, bank: jax.Array) -> jax.Array:
-    """Euclidean distance / 4096 (graphONE.py:127,148-149)."""
-    sq = (jnp.sum(features ** 2, -1)[:, None] + jnp.sum(bank ** 2, -1)[None, :]
-          - 2.0 * jnp.dot(features, bank.T, preferred_element_type=jnp.float32))
-    return jnp.sqrt(jnp.maximum(sq, 0.0)) / 4096.0
+    """Euclidean distance / 4096 (graphONE.py:127,148-149).
+
+    EXACT pairwise form — the reference explicitly opts out of the
+    |a|²+|b|²−2ab matmul trick
+    (``compute_mode="donot_use_mm_for_euclid_dist"``) because catastrophic
+    cancellation near ties can reorder the k-NN ranking; this is a
+    ranking-sensitive parity path, so we match. XLA fuses the broadcast
+    subtract into the reduction (no (M, P, F) materialization); l2 is the
+    non-default distance, so the off-MXU cost is acceptable."""
+    diff = features[:, None, :].astype(jnp.float32) \
+        - bank[None, :, :].astype(jnp.float32)
+    return jnp.sqrt(jnp.sum(diff * diff, -1)) / 4096.0
 
 
 def prototype_topk(features: jax.Array, bank: jax.Array, bank_mask: jax.Array,
