@@ -78,12 +78,12 @@ class FeatureStore:
         }
 
     def process(self) -> None:
+        csv_path = osp.join(self.processed_dir, self.metadata_name)
         missing = [uid for uid in self.video_uids
                    if not osp.exists(osp.join(self.processed_dir, f"{uid}.npy"))]
-        if not missing:
+        if not missing and osp.exists(csv_path):
             return
         os.makedirs(self.processed_dir, exist_ok=True)
-        metadata = []
         for uid in missing:
             pt_path = osp.join(self.raw_dir, f"{uid}.pt")
             if not osp.exists(pt_path):
@@ -94,12 +94,20 @@ class FeatureStore:
             feats = torch.load(pt_path, map_location="cpu")
             arr = np.asarray(feats.numpy(), dtype=np.float32)
             np.save(osp.join(self.processed_dir, f"{uid}.npy"), arr)
-            metadata.append((uid, arr.shape[0], arr.shape[1]))
-        if metadata:
-            csv_path = osp.join(self.processed_dir, self.metadata_name)
+        # the metadata csv covers EVERY converted video of this split —
+        # datasets share the processed dir, so videos converted earlier by a
+        # sibling dataset must not vanish from this split's csv (the
+        # reference writes the full frame each time, ego4d_fho.py:162-168)
+        rows = []
+        for uid in self.video_uids:
+            p = osp.join(self.processed_dir, f"{uid}.npy")
+            if osp.exists(p):
+                arr = np.load(p, mmap_mode="r")
+                rows.append((uid, arr.shape[0], arr.shape[1]))
+        if rows:
             with open(csv_path, "w") as f:
                 f.write("video_uid,length,features_size\n")
-                for uid, length, size in metadata:
+                for uid, length, size in rows:
                     f.write(f"{uid},{length},{size}\n")
 
     def __getitem__(self, uid: str) -> np.ndarray:

@@ -228,7 +228,14 @@ class MultiLoader:
                     if all(completed):
                         return
                     iterators[i] = iter(l)
-                    out.append(next(iterators[i]))
+                    try:
+                        out.append(next(iterators[i]))
+                    except StopIteration:
+                        # zero-batch loader (dataset smaller than batch_size
+                        # with drop_last): end the epoch cleanly like the
+                        # reference multiloader's propagated StopIteration —
+                        # PEP 479 would otherwise turn this into RuntimeError
+                        return
             yield tuple(out)
 
 

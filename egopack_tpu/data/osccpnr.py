@@ -198,7 +198,13 @@ class Ego4dPNRDataset(Ego4dOSCCDataset):
 
         if self.split == "train" and rng is not None:
             random_len = rng.uniform(5, 8)
-            random_start = seg.start_sec + rng.uniform(0, 8 - random_len)
+            # reference quirk (load-bearing): np.random.uniform(8 - len) is a
+            # single POSITIONAL low with high=1.0 (ego4d_oscc.py:248), i.e.
+            # offset = (8-len) + (1-(8-len))*u — a draw BETWEEN 8-len and 1.0
+            # (in either order; numpy doesn't validate low>high) — NOT
+            # uniform(0, 8-len)
+            lo = 8.0 - random_len
+            random_start = seg.start_sec + lo + (1.0 - lo) * rng.random()
             start_frame = int(np.floor(random_start * FPS))
             random_end = random_start + random_len
             if random_end > seg.end_sec:

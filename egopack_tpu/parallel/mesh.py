@@ -19,11 +19,14 @@ the inter-host dimension by construction.
 
 from __future__ import annotations
 
+import logging
 from typing import Any, Dict, Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
 
 
 def make_mesh(data: int = -1, model: int = 1,
@@ -33,6 +36,11 @@ def make_mesh(data: int = -1, model: int = 1,
     if data == -1:
         data = n // model
     assert data * model <= n, f"mesh {data}x{model} exceeds {n} devices"
+    if data * model < n:
+        # never drop devices silently: an idle chip is a throughput bug and,
+        # under multihost, a desync hazard for global-array assembly
+        logger.warning("mesh %dx%d uses only %d of %d devices; the rest sit "
+                       "idle", data, model, data * model, n)
     arr = np.asarray(devices[:data * model]).reshape(data, model)
     return Mesh(arr, ("data", "model"))
 

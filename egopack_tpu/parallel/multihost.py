@@ -37,16 +37,21 @@ def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
     """Idempotent ``jax.distributed.initialize`` (env-driven when args are
-    None: JAX reads COORDINATOR_ADDRESS / TPU metadata)."""
-    if jax.process_count() > 1:
-        return  # already initialized
-    try:
-        jax.distributed.initialize(coordinator_address, num_processes,
-                                   process_id)
-        logger.info("jax.distributed initialized: process %d/%d",
-                    jax.process_index(), jax.process_count())
-    except (RuntimeError, ValueError) as e:
-        logger.info("single-process run (%s)", e)
+    None: JAX reads COORDINATOR_ADDRESS / TPU metadata).
+
+    The idempotency check MUST NOT touch the XLA backend:
+    ``jax.process_count()`` would initialize it and make the subsequent
+    ``jax.distributed.initialize`` unconditionally raise — every process
+    would then silently proceed as an independent single-host run.
+    ``jax.distributed.is_initialized()`` is backend-free. Failures are NOT
+    swallowed: a bad coordinator address on a run that asked for multihost
+    must abort, not train N desynchronized copies."""
+    if jax.distributed.is_initialized():
+        return
+    jax.distributed.initialize(coordinator_address, num_processes,
+                               process_id)
+    logger.info("jax.distributed initialized: process %d/%d",
+                jax.process_index(), jax.process_count())
 
 
 def process_shard() -> Optional[Tuple[int, int]]:
@@ -84,11 +89,3 @@ def put_batch(batch: Dict[str, Any], mesh: Mesh,
     if x_dtype is not None and "x" in local:
         local["x"] = local["x"].astype(x_dtype)
     return global_batch(local, mesh, P() if replicated else P("data"))
-
-
-def process_local_indices(n: int, batch_size: int) -> slice:
-    """Which rows of a global batch this process loads (contiguous block
-    partitioning over processes)."""
-    per = batch_size // jax.process_count()
-    lo = jax.process_index() * per
-    return slice(lo, lo + per)

@@ -27,7 +27,10 @@ def main() -> None:
                                 int(sys.argv[3]), sys.argv[4])
     artifact_dir = sys.argv[5] if len(sys.argv) > 5 else None
     if coord != "single":
-        jax.distributed.initialize(coord, n_proc, pid)
+        # through the production wrapper: its idempotency check must not
+        # touch the XLA backend before jax.distributed.initialize runs
+        from egopack_tpu.parallel import multihost as _mh
+        _mh.initialize(coord, n_proc, pid)
         assert jax.process_count() == n_proc
     assert len(jax.devices()) == 2 * n_proc
 

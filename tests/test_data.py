@@ -266,3 +266,50 @@ def test_oscc_remove_overlapping_segments():
     ]
     out = Ego4dOSCCDataset._remove_overlapping(clips)
     assert {c["unique_id"] for c in out} == {"p_far", "n_far", "p_othervid"}
+
+
+def test_pnr_crop_offset_reference_quirk(ego4d_root):
+    """The reference's train crop start uses np.random.uniform(8 - len) — a
+    single POSITIONAL low with high=1.0, i.e. a draw BETWEEN 8-len and 1.0
+    (either order), NOT uniform(0, 8-len) (ego4d_oscc.py:248). Pinned with a
+    stub rng."""
+    ds = Ego4dPNRDataset("train", num_segments=16, root=ego4d_root,
+                         verbose=False)
+    seg = ds.annotations[0]
+
+    class StubRng:
+        def __init__(self, u, r):
+            self._u, self._r = u, r
+
+        def uniform(self, lo, hi):  # random_len draw
+            assert (lo, hi) == (5, 8)
+            return self._u
+
+        def random(self):  # offset draw
+            return self._r
+
+    # len=5 → lo=3: offset = 3 + (1-3)*r ∈ {3.0 at r=0, 1.0 at r=1}
+    s0 = ds.get(0, StubRng(5.0, 0.0))
+    s1 = ds.get(0, StubRng(5.0, 1.0))
+    f0, f1 = float(s0["start_frame"]), float(s1["start_frame"])
+    import numpy as _np
+    expect0 = _np.floor((seg.start_sec + 3.0) * 30)
+    expect1 = _np.floor((seg.start_sec + 1.0) * 30)
+    # the PNR clamp may reset start_frame when pnr < crop start; check the
+    # pre-clamp values via the formula when no clamp fired
+    if seg.pnr_frame is not None and seg.pnr_frame >= expect0:
+        assert f0 == expect0
+    if seg.pnr_frame is not None and seg.pnr_frame >= expect1:
+        assert f1 == expect1
+
+
+def test_multiloader_zero_batch_loader_ends_epoch(ego4d_root):
+    """An enabled loader with ZERO batches (dataset < batch_size with
+    drop_last) ends the epoch cleanly like the reference multiloader — not
+    PEP-479 RuntimeError."""
+    ar = Ego4dRecognitionDataset("train", num_segments=3, root=ego4d_root)
+    empty = build_dataloader(ar, 1000, True, 0, True, seed=1)  # 0 batches
+    full = build_dataloader(ar, 8, True, 0, True, seed=1)
+    ml = MultiLoader([full, empty], [1.0, 1.0])
+    steps = list(ml)  # must not raise
+    assert steps == [] or all(len(s) == 2 for s in steps)
