@@ -52,18 +52,44 @@ def _group_key(config: dict) -> str:
     return json.dumps(cfg, sort_keys=True, default=str)
 
 
+def _flatten(d: dict, prefix: str = "") -> Dict[str, str]:
+    out: Dict[str, str] = {}
+    for k, v in d.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flatten(v, key + "."))
+        else:
+            out[key] = json.dumps(v, default=str)
+    return out
+
+
+def _distinguishing_keys(rep_configs: List[dict]) -> List[str]:
+    """Flattened config keys whose values differ between groups — sweeps
+    varying e.g. graphone.depth must not collapse into one output label."""
+    flats = [_flatten(c) for c in rep_configs]
+    keys = set().union(*(f.keys() for f in flats))
+    return sorted(k for k in keys
+                  if k != "seed"
+                  and len({f.get(k) for f in flats}) > 1)
+
+
 def aggregate(output_dir: str, metric: Optional[str] = None) -> Dict[str, dict]:
     """Group by config-minus-seed; mean ± std of each final metric."""
     groups: Dict[str, List[Tuple[dict, Dict[str, float]]]] = defaultdict(list)
     for config, final in load_runs(output_dir):
         groups[_group_key(config)].append((config, final))
 
+    diff_keys = _distinguishing_keys([runs[0][0]
+                                      for runs in groups.values()])
     out: Dict[str, dict] = {}
     for key, runs in groups.items():
         configs = [c for c, _ in runs]
         seeds = sorted(c.get("seed") for c in configs)
-        label = "{}(seeds {})".format(
-            "-".join(map(str, configs[0].get("enabled_tasks", ["?"]))), seeds)
+        flat0 = _flatten(configs[0])
+        sweep = " ".join(f"{k}={flat0.get(k)}" for k in diff_keys)
+        label = "{}{}(seeds {})".format(
+            "-".join(map(str, configs[0].get("enabled_tasks", ["?"]))),
+            f" [{sweep}] " if sweep else "", seeds)
         metrics: Dict[str, dict] = {}
         names = set().union(*(f.keys() for _, f in runs))
         for m in sorted(names):

@@ -39,9 +39,12 @@ def build_commands(spec: Dict[str, Any], extra: List[str] = ()) -> List[List[str
     program = spec["program"]
     template = spec.get("command", ["${env}", "python3", "${program}",
                                     "${args_no_hyphens}"])
+    # drop EVERY wandb placeholder (${env}, ${program}, ${args...},
+    # ${interpreter}, ...) — the grid overrides below play the ${args} role;
+    # a leaked literal "${interpreter}" would hit the CLI override parser
     static_args = [a for a in template
-                   if a not in ("${env}", "${program}", "${args_no_hyphens}")
-                   and a != "python3"]
+                   if not (a.startswith("${") and a.endswith("}"))
+                   and a not in ("python3", "python")]
     commands = []
     for combo in expand_grid(spec):
         overrides = [f"{k}={_format_value(v)}" for k, v in combo.items()]

@@ -16,6 +16,7 @@ Two layers, both absent-or-wandb-coupled in the reference (SURVEY.md §5):
 from __future__ import annotations
 
 import json
+import logging
 import os
 import os.path as osp
 from typing import Any, Dict, Optional, Tuple
@@ -23,6 +24,8 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import numpy as np
 from flax import serialization
+
+logger = logging.getLogger(__name__)
 
 
 def _host_value(x):
@@ -54,8 +57,24 @@ def save_artifact(artifact_dir: str, name: str, payload: Dict[str, Any],
     if jax.process_index() != 0:
         return path
     os.makedirs(path, exist_ok=True)
+    ckpt = osp.join(path, "checkpoint.msgpack")
+    if osp.exists(ckpt):
+        # version the previous contents like wandb does — both phases use
+        # the SAME artifact name (reference main_temporal.py:159 /
+        # main_egopack.py:461), so a phase-2 save with the same task set
+        # would otherwise destroy the phase-1 pretrain artifact
+        v = 1
+        while osp.exists(osp.join(path, f"checkpoint_v{v}.msgpack")):
+            v += 1
+        os.replace(ckpt, osp.join(path, f"checkpoint_v{v}.msgpack"))
+        old_meta = osp.join(path, "meta.json")
+        if osp.exists(old_meta):
+            os.replace(old_meta, osp.join(path, f"meta_v{v}.json"))
+        logger.warning(
+            "Artifact %s existed; previous version kept as checkpoint_v%d",
+            name, v)
     blob = serialization.msgpack_serialize(host_payload)
-    with open(osp.join(path, "checkpoint.msgpack"), "wb") as f:
+    with open(ckpt, "wb") as f:
         f.write(blob)
     with open(osp.join(path, "meta.json"), "w") as f:
         json.dump(meta or {}, f)

@@ -53,7 +53,16 @@ class RunLogger:
                  config: Optional[Dict[str, Any]] = None):
         self.run_name = run_name or time.strftime("run_%Y%m%d_%H%M%S")
         self.dir = osp.join(output_dir, self.run_name)
-        os.makedirs(self.dir, exist_ok=True)
+        # every run gets its OWN directory, like every wandb run gets its own
+        # id: sweeps name runs by a pattern that often omits the seed, and
+        # appending 3 seed runs into one metrics.jsonl silently turns the
+        # reference's 3-seed mean±std protocol into n=1 (aggregate.py)
+        if osp.exists(self.dir):
+            i = 2
+            while osp.exists(f"{self.dir}-{i}"):
+                i += 1
+            self.dir = f"{self.dir}-{i}"
+        os.makedirs(self.dir)
         self._f = open(osp.join(self.dir, "metrics.jsonl"), "a")
         if config is not None:
             with open(osp.join(self.dir, "config.json"), "w") as f:

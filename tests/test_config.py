@@ -115,3 +115,77 @@ def test_aggregate_three_seed_protocol(tmp_path):
     assert "oscc" in label and "65" in label
     assert metrics["val/oscc/accuracy"]["n"] == 3
     assert metrics["val/oscc/accuracy"]["mean"] == pytest.approx(0.72)
+
+
+def test_aggregate_distinguishes_swept_params(tmp_path):
+    """Sweeps varying a non-seed param (e.g. graphone.depth) must produce
+    DISTINCT labels per configuration — not collapse into one overwritten
+    entry."""
+    import json
+    from egopack_tpu.aggregate import aggregate
+
+    for depth in (1, 3):
+        for seed, acc in [(65, 0.6 + depth / 10), (72, 0.62 + depth / 10)]:
+            d = tmp_path / f"run_d{depth}_s{seed}"
+            d.mkdir()
+            (d / "config.json").write_text(json.dumps(
+                {"seed": seed, "enabled_tasks": ["oscc"],
+                 "graphone": {"depth": depth, "k": 4}}))
+            (d / "metrics.jsonl").write_text(
+                json.dumps({"step": 1, "val/oscc/accuracy": acc}) + "\n")
+    out = aggregate(str(tmp_path))
+    assert len(out) == 2, list(out)
+    labels = sorted(out)
+    assert any("graphone.depth=1" in l for l in labels), labels
+    assert any("graphone.depth=3" in l for l in labels), labels
+    for metrics in out.values():
+        assert metrics["val/oscc/accuracy"]["n"] == 2
+
+
+def test_run_logger_unique_dirs(tmp_path):
+    """Two runs with the same name (seed-less sweep patterns) get separate
+    directories — the 3-seed protocol must not append into one jsonl."""
+    from egopack_tpu.utils.logging import RunLogger
+
+    a = RunLogger(str(tmp_path), "OSCC_depth-1", {"seed": 65})
+    a.log({"m": 1.0}, step=1)
+    a.close()
+    b = RunLogger(str(tmp_path), "OSCC_depth-1", {"seed": 72})
+    b.log({"m": 2.0}, step=1)
+    b.close()
+    assert a.dir != b.dir
+    assert len(open(f"{a.dir}/metrics.jsonl").readlines()) == 1
+    assert len(open(f"{b.dir}/metrics.jsonl").readlines()) == 1
+
+
+def test_sweep_drops_all_wandb_placeholders():
+    """The default wandb command template uses ${interpreter}/${args} too —
+    no placeholder may leak into the CLI as a literal argument."""
+    from egopack_tpu.sweep import build_commands
+
+    spec = {
+        "program": "main_temporal.py",
+        "command": ["${env}", "${interpreter}", "${program}", "${args}"],
+        "parameters": {"seed": {"values": [1]}},
+    }
+    (cmd,) = build_commands(spec)
+    assert not any(a.startswith("${") for a in cmd), cmd
+    assert cmd[1] == "main_temporal.py" and "seed=1" in cmd
+
+
+def test_artifact_overwrite_keeps_previous_version(tmp_path):
+    """Both phases use the SAME artifact name (reference contract); a local
+    re-save must version the previous contents like wandb, not destroy
+    them."""
+    import numpy as np
+    from egopack_tpu.train.checkpoint import load_artifact, save_artifact
+
+    save_artifact(str(tmp_path), "MTL_oscc", {"w": np.ones(3)},
+                  meta={"phase": "mtl"})
+    save_artifact(str(tmp_path), "MTL_oscc", {"w": np.zeros(3)},
+                  meta={"phase": "egopack"})
+    payload, meta = load_artifact(str(tmp_path), "MTL_oscc")
+    assert meta["phase"] == "egopack" and (payload["w"] == 0).all()
+    import os.path as osp
+    assert osp.exists(tmp_path / "MTL_oscc" / "checkpoint_v1.msgpack")
+    assert osp.exists(tmp_path / "MTL_oscc" / "meta_v1.json")
