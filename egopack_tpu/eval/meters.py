@@ -335,19 +335,25 @@ class Ego4dAnticipationMeter(BaseMeter):
 def build_meter_for_dataset(dataset, save_features: bool = False,
                             log_confusion: bool = False) -> BaseMeter:
     """isinstance dispatch (/root/reference/utils/meters/__init__.py:10-22);
-    order matters: PNR before OSCC (subclass), LTA/Anticipation before FHO."""
+    order matters: PNR before OSCC (subclass), LTA/Anticipation before FHO.
+
+    ``save_features`` reaches EVERY meter (the reference's BaseMeter collects
+    pre/post features regardless of subclass, utils/meters/base.py:18-29);
+    ``log_confusion`` applies to the Recognition meter only — confusion
+    matrices exist only there in the reference too (ego4d.py:51-68)."""
     if isinstance(dataset, Ego4dRecognitionDataset):
         return Ego4dRecognitionMeter(dataset, save_features=save_features,
                                      log_confusion=log_confusion)
     if isinstance(dataset, Ego4dAnticipationDataset):
-        return Ego4dAnticipationMeter(dataset)
+        return Ego4dAnticipationMeter(dataset, save_features=save_features)
     if isinstance(dataset, Ego4dPNRDataset):
-        return Ego4dPNRMeter(dataset, num_segments=dataset.num_segments)
+        return Ego4dPNRMeter(dataset, num_segments=dataset.num_segments,
+                             save_features=save_features)
     if isinstance(dataset, Ego4dOSCCDataset):
-        return Ego4dOSCCMeter(dataset)
+        return Ego4dOSCCMeter(dataset, save_features=save_features)
     if isinstance(dataset, Ego4dLTADataset):
         return Ego4dLTAMeter(
             dataset,
             num_nodes=dataset.n_input_clips + dataset.n_forecast_clips,
-            num_input=dataset.n_input_clips)
+            num_input=dataset.n_input_clips, save_features=save_features)
     raise NotImplementedError(type(dataset))

@@ -30,6 +30,17 @@ def _host_masked_mean(per_elem, mask: np.ndarray) -> float:
     return float((pe * m).sum() / max(m.sum(), 1.0))
 
 
+def _pre_features(batch, valid) -> np.ndarray:
+    """The reference's pre-feature convention (validate.py:54-57): segment-mean
+    of the raw input when x has a segment axis, x itself otherwise. Compact
+    layouts are equivalent here: PNR ships un-repeated (B, N, D) frames whose
+    S-fold repeat has the frame itself as segment-mean; LTA ships only the
+    real input clips — the forecast nodes the loader would fill are broadcasts
+    of the input mean, i.e. one duplicated t-SNE point per sample."""
+    x = np.asarray(batch["x"])[valid]
+    return x.mean(-2) if x.ndim == 4 else x
+
+
 def validate(eval_step, params, banks, loader, meter: BaseMeter,
              task_name: str, put=None) -> BaseMeter:
     """Task-generic eval (AR, OSCC) — /root/reference/validate.py:14-60.
@@ -47,7 +58,7 @@ def validate(eval_step, params, banks, loader, meter: BaseMeter,
             # reference: pre = raw segment-mean, post = task-projected
             # (stacked with interacted aux, in the graphone case) features
             # (/root/reference/validate.py:43,52-56)
-            meter.update_features(np.asarray(batch["x"])[valid].mean(-2),
+            meter.update_features(_pre_features(batch, valid),
                                   np.asarray(feat)[valid])
         if task_name == "ar":
             v = np.asarray(logits[0])[valid].reshape(-1, logits[0].shape[-1])
@@ -66,11 +77,17 @@ def validate_lta(eval_step, params, banks, loader, meter: BaseMeter,
     (/root/reference/validate.py:63-106)."""
     put = put or _device_batch
     for i, batch in enumerate(loader):
-        logits, per_elem, _, _ = eval_step(params, put(batch), banks)
+        logits, per_elem, feat, _ = eval_step(params, put(batch), banks)
         preds, logits = sample_fn(logits, jax.random.fold_in(rng, i))
         valid = np.asarray(batch["valid"])
         loss = _host_masked_mean(per_elem, _node_mask(batch))
         y = np.asarray(batch["y"])
+        if meter.save_features:
+            # the reference's LTA loop never passes features to the meter
+            # (validate.py:107 drops them) though its BaseMeter supports it;
+            # this extends the base convention to LTA (PARITY.md)
+            meter.update_features(_pre_features(batch, valid),
+                                  np.asarray(feat)[valid])
         flat = lambda a: np.asarray(a)[valid].reshape((-1,) + np.asarray(a).shape[2:])
         meter.update((flat(logits[0]), flat(logits[1])),
                      y[valid].reshape(-1, 2),
@@ -84,9 +101,14 @@ def validate_pnr(eval_step, params, banks, loader, meter: BaseMeter,
     (/root/reference/validate.py:109-150)."""
     put = put or _device_batch
     for batch in loader:
-        logits, per_elem, _, _ = eval_step(params, put(batch), banks)
+        logits, per_elem, feat, _ = eval_step(params, put(batch), banks)
         valid = np.asarray(batch["valid"])
         loss = _host_masked_mean(per_elem, _node_mask(batch))
+        if meter.save_features:
+            # reference's PNR loop drops features (validate.py:150) though
+            # its BaseMeter supports them; extended here (PARITY.md)
+            meter.update_features(_pre_features(batch, valid),
+                                  np.asarray(feat)[valid])
         meter.update(np.asarray(logits)[valid],
                      np.asarray(batch["y"])[valid], loss,
                      start_frame=np.asarray(batch["start_frame"])[valid],

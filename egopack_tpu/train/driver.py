@@ -256,6 +256,142 @@ def _emit_plots(cfg, run_logger, meter, name: str, epoch: int) -> None:
             logger.info("Wrote t-SNE feature embeddings to %s", path)
 
 
+def _maybe_resume(cfg, ckpt_dir, params, opt_state, rng, mesh):
+    """Mid-run resume: restore the newest full-state checkpoint if present.
+
+    Optimizer state is restored onto its original (mesh-tagged) shardings —
+    host-restored leaves would otherwise force the fused step to retrace
+    (see optim.init_opt_state). Returns (params, opt_state, rng, start_epoch).
+    """
+    start_epoch = 1
+    if cfg.checkpoint.enable:
+        last = latest_state(ckpt_dir)
+        if last is not None:
+            opt_shardings = jax.tree_util.tree_map(lambda x: x.sharding,
+                                                   opt_state)
+            state = restore_state(ckpt_dir, last,
+                                  {"params": params, "opt_state": opt_state,
+                                   "rng": rng})
+            params, rng = state["params"], state["rng"]
+            params = pmesh.place_params(params, mesh)
+            opt_state = jax.tree_util.tree_map(jax.device_put,
+                                               state["opt_state"],
+                                               opt_shardings)
+            start_epoch = last + 1
+            logger.info("Resumed full state from epoch %d", last)
+    return params, opt_state, rng, start_epoch
+
+
+def _run_epochs(cfg, *, system, params, opt_state, banks, dsets, task_weights,
+                active, step_fn, multi_fn, lr_fn, rng, run_logger, eval_steps,
+                sample_fn, ckpt_dir, mesh, start_epoch, should_validate,
+                force_all=False):
+    """The shared epoch loop of both training phases (main_temporal.py:300-404,
+    main_egopack.py:316-448): multiloader epochs, steps_per_call batching +
+    tail flush, loss/norm accumulation, profiler trace, checkpoint cadence,
+    validation. ``banks=None`` selects the phase-1 step signature; otherwise
+    banks are threaded as the step's extra leading argument (phase 2).
+
+    Returns (params, opt_state, val_metrics)."""
+    spc = int(cfg.get("steps_per_call", 1))
+    profiling = bool(cfg.profile_dir)
+    x_dtype = _transfer_dtype(system)
+    step_extra = () if banks is None else (banks,)
+    val_metrics: Dict[str, Any] = {}
+    for epoch in range(start_epoch, cfg.num_epochs + 1):
+        t0 = time.time()
+        losses = {t: [] for t in active}
+        norms: Dict[str, list] = {}
+        ml = _epoch_multiloader(dsets, task_weights)
+        for t in TASKS:
+            dsets[t]["dl_train"].set_epoch(epoch)
+        n_steps = 0
+        # per-step keys derive from (run key, epoch, step index) — bitwise
+        # identical across steps_per_call settings and across mid-run resume
+        epoch_key = jax.random.fold_in(jax.random.fold_in(rng, 1), epoch)
+        put = lambda tup: {t: mh.put_batch(b, mesh, x_dtype=x_dtype)
+                           for t, b in zip(TASKS, tup) if t in active}
+
+        def record(logs):
+            for t in active:
+                losses[t].append(logs[f"{t}_loss"])
+            for k, v in logs.items():
+                # global AND per-layer norm scalars (log_per_layer_norms)
+                if k.startswith(("grad_norm", "param_norm")):
+                    norms.setdefault(k, []).append(v)
+
+        pending = []
+        trace_on = False
+        for batches in device_prefetch(iter(ml), put):
+            if profiling and not trace_on and n_steps >= 1:  # skip compile
+                jax.profiler.start_trace(cfg.profile_dir)
+                trace_on = True
+            if multi_fn is not None:
+                pending.append(batches)
+                if len(pending) < spc:
+                    continue
+                params, opt_state, logs = multi_fn(params, opt_state,
+                                                   *step_extra, tuple(pending),
+                                                   epoch_key, n_steps,
+                                                   lr_fn(epoch - 1))
+                pending = []
+                n_steps += spc
+            else:
+                params, opt_state, logs = step_fn(
+                    params, opt_state, *step_extra, batches,
+                    jax.random.fold_in(epoch_key, n_steps), lr_fn(epoch - 1))
+                n_steps += 1
+            record(logs)
+            if trace_on and n_steps >= 1 + max(spc, 4):
+                jax.block_until_ready(params)
+                jax.profiler.stop_trace()
+                profiling = trace_on = False
+                logger.info("Wrote profiler trace to %s", cfg.profile_dir)
+        if trace_on:  # short epoch: close the trace before the tail flush
+            jax.block_until_ready(params)
+            jax.profiler.stop_trace()
+            profiling = trace_on = False
+            logger.info("Wrote profiler trace to %s", cfg.profile_dir)
+        # flush the tail (fewer than steps_per_call batches) one by one
+        for batches in pending:
+            params, opt_state, logs = step_fn(
+                params, opt_state, *step_extra, batches,
+                jax.random.fold_in(epoch_key, n_steps), lr_fn(epoch - 1))
+            n_steps += 1
+            record(logs)
+        epoch_losses = {
+            t: float(np.mean(np.concatenate(
+                [np.atleast_1d(np.asarray(l)) for l in losses[t]])))
+            for t in active}
+        logger.info("Epoch %3d/%d (%d steps, %.1fs, lr %.2e) losses: %s",
+                    epoch, cfg.num_epochs, n_steps, time.time() - t0,
+                    lr_fn(epoch - 1),
+                    {t: round(v, 4) for t, v in epoch_losses.items()})
+        epoch_norms = {
+            k: float(np.mean(np.concatenate(
+                [np.atleast_1d(np.asarray(v)) for v in vs])))
+            for k, vs in norms.items() if vs}
+        run_logger.log({**{f"train/{t}/loss": v
+                           for t, v in epoch_losses.items()},
+                        **{f"train/{k}": v for k, v in epoch_norms.items()}},
+                       step=epoch)
+
+        if cfg.checkpoint.enable and epoch % cfg.checkpoint.every == 0:
+            save_state(ckpt_dir, epoch,
+                       {"params": params, "opt_state": opt_state, "rng": rng},
+                       async_write=bool(cfg.checkpoint.get("async_write",
+                                                           False)))
+
+        if not should_validate(epoch):
+            continue
+        val_metrics = _run_validation(cfg, system, params, banks, dsets,
+                                      task_weights, epoch, run_logger,
+                                      eval_steps, sample_fn,
+                                      jax.random.fold_in(rng, 2),
+                                      force_all=force_all, mesh=mesh)
+    return params, opt_state, val_metrics
+
+
 def train_mtl(cfg) -> Dict[str, Any]:
     """Phase-1 multi-task pretraining (main_temporal.py)."""
     setup_logging()
@@ -293,10 +429,13 @@ def train_mtl(cfg) -> Dict[str, Any]:
     opt_state = topt.init_opt_state(optimizer, params, mesh)
 
     log_norms = bool(cfg.get("log_grad_norms", True))
-    step_fn = system.make_train_step(optimizer, active, log_norms=log_norms)
+    per_layer = bool(cfg.get("log_per_layer_norms", False))
+    step_fn = system.make_train_step(optimizer, active, log_norms=log_norms,
+                                     per_layer_norms=per_layer)
     spc = int(cfg.get("steps_per_call", 1))
     multi_fn = (system.make_train_step_multi(optimizer, active, spc,
-                                             log_norms=log_norms)
+                                             log_norms=log_norms,
+                                             per_layer_norms=per_layer)
                 if spc > 1 else None)
     eval_steps = {t: system.make_eval_step(t) for t in TASKS}
     lta_head = system.tasks["lta"].head
@@ -305,119 +444,17 @@ def train_mtl(cfg) -> Dict[str, Any]:
     def sample_fn(logits, key):
         return lta_head.generate_from_logits(logits, key)
 
-    # mid-run resume: restore the newest full-state checkpoint if present
-    start_epoch = 1
-    if cfg.checkpoint.enable:
-        last = latest_state(ckpt_dir)
-        if last is not None:
-            opt_shardings = jax.tree_util.tree_map(lambda x: x.sharding,
-                                                   opt_state)
-            state = restore_state(ckpt_dir, last,
-                                  {"params": params, "opt_state": opt_state,
-                                   "rng": rng})
-            params, rng = state["params"], state["rng"]
-            params = pmesh.place_params(params, mesh)
-            # restore optimizer state onto its original (mesh-tagged)
-            # shardings — host-restored leaves would otherwise force the
-            # fused step to retrace (see optim.init_opt_state)
-            opt_state = jax.tree_util.tree_map(jax.device_put,
-                                               state["opt_state"],
-                                               opt_shardings)
-            start_epoch = last + 1
-            logger.info("Resumed full state from epoch %d", last)
+    params, opt_state, rng, start_epoch = _maybe_resume(
+        cfg, ckpt_dir, params, opt_state, rng, mesh)
 
-    profiling = bool(cfg.profile_dir)
-    x_dtype = _transfer_dtype(system)
-    val_metrics: Dict[str, Any] = {}
-    for epoch in range(start_epoch, cfg.num_epochs + 1):
-        t0 = time.time()
-        losses = {t: [] for t in active}
-        norms = {"grad_norm": [], "param_norm": []}
-        ml = _epoch_multiloader(dsets, task_weights)
-        for t in TASKS:
-            dsets[t]["dl_train"].set_epoch(epoch)
-        n_steps = 0
-        # per-step keys derive from (run key, epoch, step index) — bitwise
-        # identical across steps_per_call settings and across mid-run resume
-        epoch_key = jax.random.fold_in(jax.random.fold_in(rng, 1), epoch)
-        put = lambda tup: {t: mh.put_batch(b, mesh, x_dtype=x_dtype)
-                           for t, b in zip(TASKS, tup) if t in active}
-        pending = []
-        trace_on = False
-        for batches in device_prefetch(iter(ml), put):
-            if profiling and not trace_on and n_steps >= 1:  # skip compile
-                jax.profiler.start_trace(cfg.profile_dir)
-                trace_on = True
-            if multi_fn is not None:
-                pending.append(batches)
-                if len(pending) < spc:
-                    continue
-                params, opt_state, logs = multi_fn(params, opt_state,
-                                                   tuple(pending), epoch_key,
-                                                   n_steps, lr_fn(epoch - 1))
-                pending = []
-                n_steps += spc
-            else:
-                params, opt_state, logs = step_fn(
-                    params, opt_state, batches,
-                    jax.random.fold_in(epoch_key, n_steps), lr_fn(epoch - 1))
-                n_steps += 1
-            for t in active:
-                losses[t].append(logs[f"{t}_loss"])
-            for k in norms:
-                if k in logs:
-                    norms[k].append(logs[k])
-            if trace_on and n_steps >= 1 + max(spc, 4):
-                jax.block_until_ready(params)
-                jax.profiler.stop_trace()
-                profiling = trace_on = False
-                logger.info("Wrote profiler trace to %s", cfg.profile_dir)
-        if trace_on:  # short epoch: close the trace before the tail flush
-            jax.block_until_ready(params)
-            jax.profiler.stop_trace()
-            profiling = trace_on = False
-            logger.info("Wrote profiler trace to %s", cfg.profile_dir)
-        # flush the tail (fewer than steps_per_call batches) one by one
-        for batches in pending:
-            params, opt_state, logs = step_fn(
-                params, opt_state, batches,
-                jax.random.fold_in(epoch_key, n_steps), lr_fn(epoch - 1))
-            for t in active:
-                losses[t].append(logs[f"{t}_loss"])
-            for k in norms:
-                if k in logs:
-                    norms[k].append(logs[k])
-            n_steps += 1
-        epoch_losses = {
-            t: float(np.mean(np.concatenate(
-                [np.atleast_1d(np.asarray(l)) for l in losses[t]])))
-            for t in active}
-        logger.info("Epoch %3d/%d (%d steps, %.1fs, lr %.2e) losses: %s",
-                    epoch, cfg.num_epochs, n_steps, time.time() - t0,
-                    lr_fn(epoch - 1),
-                    {t: round(v, 4) for t, v in epoch_losses.items()})
-        epoch_norms = {
-            k: float(np.mean(np.concatenate(
-                [np.atleast_1d(np.asarray(v)) for v in vs])))
-            for k, vs in norms.items() if vs}
-        run_logger.log({**{f"train/{t}/loss": v
-                           for t, v in epoch_losses.items()},
-                        **{f"train/{k}": v for k, v in epoch_norms.items()}},
-                       step=epoch)
-
-        if cfg.checkpoint.enable and epoch % cfg.checkpoint.every == 0:
-            save_state(ckpt_dir, epoch,
-                       {"params": params, "opt_state": opt_state, "rng": rng},
-                       async_write=bool(cfg.checkpoint.get("async_write",
-                                                           False)))
-
+    params, opt_state, val_metrics = _run_epochs(
+        cfg, system=system, params=params, opt_state=opt_state, banks=None,
+        dsets=dsets, task_weights=task_weights, active=active,
+        step_fn=step_fn, multi_fn=multi_fn, lr_fn=lr_fn, rng=rng,
+        run_logger=run_logger, eval_steps=eval_steps, sample_fn=sample_fn,
+        ckpt_dir=ckpt_dir, mesh=mesh, start_epoch=start_epoch,
         # validate only in the last 5 epochs (main_temporal.py:342-343)
-        if epoch < (cfg.num_epochs - 5):
-            continue
-        val_metrics = _run_validation(cfg, system, params, None, dsets,
-                                      task_weights, epoch, run_logger,
-                                      eval_steps, sample_fn,
-                                      jax.random.fold_in(rng, 2), mesh=mesh)
+        should_validate=lambda epoch: epoch >= (cfg.num_epochs - 5))
 
     wait_for_saves()
     result = {"params": params, "system": system, "dsets": dsets,
@@ -516,18 +553,20 @@ def train_egopack(cfg) -> Dict[str, Any]:
     opt_state = topt.init_opt_state(optimizer, params, mesh)
 
     log_norms = bool(cfg.get("log_grad_norms", True))
+    per_layer = bool(cfg.get("log_per_layer_norms", False))
     step_fn = system.make_egopack_train_step(
         optimizer, active, graphone,
         backprop_temporal_graph=cfg.backprop_temporal_graph,
         temporal_graph_train_mode=cfg.temporal_graph_train_mode,
-        late_fusion=cfg.late_fusion, log_norms=log_norms)
+        late_fusion=cfg.late_fusion, log_norms=log_norms,
+        per_layer_norms=per_layer)
     spc = int(cfg.get("steps_per_call", 1))
     multi_fn = (system.make_egopack_train_step_multi(
         optimizer, active, graphone, spc,
         backprop_temporal_graph=cfg.backprop_temporal_graph,
         temporal_graph_train_mode=cfg.temporal_graph_train_mode,
         late_fusion=cfg.late_fusion,
-        log_norms=log_norms) if spc > 1 else None)
+        log_norms=log_norms, per_layer_norms=per_layer) if spc > 1 else None)
 
     eval_steps: Dict[str, Any] = {}
     for t in TASKS:
@@ -544,99 +583,18 @@ def train_egopack(cfg) -> Dict[str, Any]:
 
     ckpt_dir = osp.join(cfg.checkpoint.dir,
                         f"egopack_{artifact_name(cfg, task_weights)}")
-    start_epoch = 1
-    if cfg.checkpoint.enable:
-        last = latest_state(ckpt_dir)
-        if last is not None:
-            opt_shardings = jax.tree_util.tree_map(lambda x: x.sharding,
-                                                   opt_state)
-            state = restore_state(ckpt_dir, last,
-                                  {"params": params, "opt_state": opt_state,
-                                   "rng": rng})
-            params, rng = state["params"], state["rng"]
-            params = pmesh.place_params(params, mesh)
-            # restore optimizer state onto its original (mesh-tagged)
-            # shardings — host-restored leaves would otherwise force the
-            # fused step to retrace (see optim.init_opt_state)
-            opt_state = jax.tree_util.tree_map(jax.device_put,
-                                               state["opt_state"],
-                                               opt_shardings)
-            start_epoch = last + 1
-            logger.info("Resumed full state from epoch %d", last)
+    params, opt_state, rng, start_epoch = _maybe_resume(
+        cfg, ckpt_dir, params, opt_state, rng, mesh)
 
-    x_dtype = _transfer_dtype(system)
-    val_metrics: Dict[str, Any] = {}
-    for epoch in range(start_epoch, cfg.num_epochs + 1):
-        t0 = time.time()
-        losses = {t: [] for t in active}
-        norms = {"grad_norm": [], "param_norm": []}
-        ml = _epoch_multiloader(dsets, task_weights)
-        for t in TASKS:
-            dsets[t]["dl_train"].set_epoch(epoch)
-        n_steps = 0
-        # (run key, epoch, step index) schedule — see train_mtl
-        epoch_key = jax.random.fold_in(jax.random.fold_in(rng, 1), epoch)
-        put = lambda tup: {t: mh.put_batch(b, mesh, x_dtype=x_dtype)
-                           for t, b in zip(TASKS, tup) if t in active}
-        pending = []
-        for batches in device_prefetch(iter(ml), put):
-            if multi_fn is not None:
-                pending.append(batches)
-                if len(pending) < spc:
-                    continue
-                params, opt_state, logs = multi_fn(params, opt_state, banks,
-                                                   tuple(pending), epoch_key,
-                                                   n_steps, lr_fn(epoch - 1))
-                pending = []
-                n_steps += spc
-            else:
-                params, opt_state, logs = step_fn(
-                    params, opt_state, banks, batches,
-                    jax.random.fold_in(epoch_key, n_steps), lr_fn(epoch - 1))
-                n_steps += 1
-            for t in active:
-                losses[t].append(logs[f"{t}_loss"])
-            for k in norms:
-                if k in logs:
-                    norms[k].append(logs[k])
-        for batches in pending:  # tail: fewer than steps_per_call batches
-            params, opt_state, logs = step_fn(
-                params, opt_state, banks, batches,
-                jax.random.fold_in(epoch_key, n_steps), lr_fn(epoch - 1))
-            n_steps += 1
-            for t in active:
-                losses[t].append(logs[f"{t}_loss"])
-            for k in norms:
-                if k in logs:
-                    norms[k].append(logs[k])
-        epoch_losses = {
-            t: float(np.mean(np.concatenate(
-                [np.atleast_1d(np.asarray(l)) for l in losses[t]])))
-            for t in active}
-        logger.info("Epoch %3d/%d (%.1fs) losses: %s", epoch, cfg.num_epochs,
-                    time.time() - t0,
-                    {t: round(v, 4) for t, v in epoch_losses.items()})
-        epoch_norms = {
-            k: float(np.mean(np.concatenate(
-                [np.atleast_1d(np.asarray(v)) for v in vs])))
-            for k, vs in norms.items() if vs}
-        run_logger.log({**{f"train/{t}/loss": v
-                           for t, v in epoch_losses.items()},
-                        **{f"train/{k}": v for k, v in epoch_norms.items()}},
-                       step=epoch)
-
-        if cfg.checkpoint.enable and epoch % cfg.checkpoint.every == 0:
-            save_state(ckpt_dir, epoch,
-                       {"params": params, "opt_state": opt_state, "rng": rng},
-                       async_write=bool(cfg.checkpoint.get("async_write",
-                                                           False)))
-
-        val_metrics = _run_validation(cfg, system, params, banks, dsets,
-                                      task_weights, epoch, run_logger,
-                                      eval_steps, sample_fn,
-                                      jax.random.fold_in(rng, 2),
-                                      force_all=cfg.validate_all_tasks,
-                                      mesh=mesh)
+    params, opt_state, val_metrics = _run_epochs(
+        cfg, system=system, params=params, opt_state=opt_state, banks=banks,
+        dsets=dsets, task_weights=task_weights, active=active,
+        step_fn=step_fn, multi_fn=multi_fn, lr_fn=lr_fn, rng=rng,
+        run_logger=run_logger, eval_steps=eval_steps, sample_fn=sample_fn,
+        ckpt_dir=ckpt_dir, mesh=mesh, start_epoch=start_epoch,
+        # phase 2 validates every epoch (main_egopack.py:407-447)
+        should_validate=lambda epoch: True,
+        force_all=cfg.validate_all_tasks)
 
     wait_for_saves()
     result = {"params": params, "banks": banks, "system": system,

@@ -79,6 +79,24 @@ def _global_norm(tree) -> jax.Array:
                         for l in leaves))
 
 
+def _subtree_norms(tree, prefix: str) -> Dict[str, jax.Array]:
+    """Per-layer L2 norms: one scalar per (component, top-level module)
+    subtree — e.g. ``grad_norm/temporal_graph/gcn_0``. The cheap middle
+    ground to ``wandb.watch(model, log="all")``'s per-parameter histograms
+    (/root/reference/main_temporal.py:262): same debugging granularity
+    (which layer's gradients vanished/exploded) at a few extra reduction
+    scalars instead of full histogram transfers."""
+    out = {}
+    for k1, v1 in tree.items():
+        if isinstance(v1, dict) and v1 and all(
+                isinstance(v2, dict) for v2 in v1.values()):
+            for k2, v2 in v1.items():
+                out[f"{prefix}/{k1}/{k2}"] = _global_norm(v2)
+        else:
+            out[f"{prefix}/{k1}"] = _global_norm(v1)
+    return out
+
+
 def _phase1_task_loss(name: str, logits, y) -> jax.Array:
     """Per-element phase-1 criteria (/root/reference/main_temporal.py:281-298):
     AR/LTA: plain CE(ignore −1) summed over verb+noun heads; OSCC: plain CE;
@@ -282,12 +300,15 @@ class MultiTaskSystem:
         return loss_fn
 
     def make_train_step(self, optimizer, active: Tuple[str, ...],
-                        log_norms: bool = True):
+                        log_norms: bool = True,
+                        per_layer_norms: bool = False):
         """One jitted step over the active task subset. ``active`` is static —
         the step is compiled once per enabled-task pattern (mirrors the
         reference's weight>0 gating). ``log_norms=False`` drops the two
         global-norm reductions (full passes over all grads + params) from the
-        fused program — a bandwidth lever on the Adam-bound step."""
+        fused program — a bandwidth lever on the Adam-bound step.
+        ``per_layer_norms=True`` adds one scalar per model subtree (see
+        _subtree_norms)."""
         loss_fn = self._make_phase1_loss_fn(active)
 
         def inner_step(params, opt_state, batches, rng):
@@ -298,6 +319,9 @@ class MultiTaskSystem:
                 # log="all") analog (/root/reference/main_temporal.py:262)
                 logs["grad_norm"] = _global_norm(grads)
                 logs["param_norm"] = _global_norm(params)
+            if per_layer_norms:
+                logs.update(_subtree_norms(grads, "grad_norm"))
+                logs.update(_subtree_norms(params, "param_norm"))
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = jax.tree_util.tree_map(
                 lambda p, u: p + u, params, updates)
@@ -312,7 +336,8 @@ class MultiTaskSystem:
         return step
 
     def make_train_step_multi(self, optimizer, active: Tuple[str, ...],
-                              steps_per_call: int, log_norms: bool = True):
+                              steps_per_call: int, log_norms: bool = True,
+                              per_layer_norms: bool = False):
         """``steps_per_call`` sequential optimizer steps over as many distinct
         batch groups inside ONE jitted program, UNROLLED (``lax.scan`` over
         steps measured ~50× slower on this stack). Mathematically identical to
@@ -326,7 +351,8 @@ class MultiTaskSystem:
         and ``rng`` the epoch key — the SAME key a single-step driver run
         derives, so spc=1 and spc=K runs are bitwise identical (verified by
         ``test_steps_per_call_matches_single_step``)."""
-        inner = self.make_train_step(optimizer, active, log_norms).inner
+        inner = self.make_train_step(optimizer, active, log_norms,
+                                     per_layer_norms).inner
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def multi_step(params, opt_state, batch_list, rng, gstep0, lr):
@@ -477,7 +503,8 @@ class MultiTaskSystem:
                                 backprop_temporal_graph: bool = True,
                                 temporal_graph_train_mode: bool = False,
                                 late_fusion: bool = True,
-                                log_norms: bool = True):
+                                log_norms: bool = True,
+                                per_layer_norms: bool = False):
         loss_fn = self.make_egopack_loss_fn(
             active, graphone, backprop_temporal_graph,
             temporal_graph_train_mode, late_fusion)
@@ -488,6 +515,9 @@ class MultiTaskSystem:
             if log_norms:
                 logs["grad_norm"] = _global_norm(grads)
                 logs["param_norm"] = _global_norm(params)
+            if per_layer_norms:
+                logs.update(_subtree_norms(grads, "grad_norm"))
+                logs.update(_subtree_norms(params, "param_norm"))
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
             return params, opt_state, logs

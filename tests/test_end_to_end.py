@@ -60,7 +60,9 @@ def test_mtl_checkpoint_keys_match_reference_contract(mtl_run):
 
 
 def test_egopack_phase_on_novel_oscc(mtl_run):
+    import glob
     _, tmp, root = mtl_run
+    profile = osp.join(tmp, "egopack_trace")
     result = main_egopack.main(_mtl_overrides(root, tmp, [
         "enabled_tasks=[oscc]", "enable_graphone=True",
         "resume_from=MTL_ar-lta-pnr", "graphone.k=2", "graphone.depth=1",
@@ -68,12 +70,17 @@ def test_egopack_phase_on_novel_oscc(mtl_run):
         "task_head_dropout=0.5", "num_epochs=1", "optimizer.lr=1e-6",
         "backprop_temporal_graph=True", "temporal_graph_train_mode=True",
         "validate_all_tasks=False", "save_model=False",
+        f"profile_dir={profile}",
     ]))
     assert "banks" in result
     assert set(result["banks"].keys()) == {"ar", "lta", "pnr"}
     for b in result["banks"].values():
         assert b.num_valid > 0
         assert np.isfinite(np.asarray(b.values)).all()
+    # the phase-2 interact step is the novel hot path: the shared epoch
+    # runner gives it the same jax.profiler trace as phase 1 (VERDICT r2)
+    assert glob.glob(profile + "/**/*.xplane.pb", recursive=True), \
+        "phase-2 profiler trace not written"
 
 
 def test_predict_lta_submission(mtl_run):
