@@ -71,6 +71,32 @@ class BaseMeter:
     def loss(self) -> float:
         return self._loss_sum / max(self._loss_count, 1)
 
+    # ---- mergeable accumulator state (sharded multi-host eval) ----
+    def state(self) -> Dict:
+        """Picklable snapshot of the accumulators. With process-sharded
+        validation each process meters only its local block of every global
+        batch; states are allgathered and merged at epoch end so every
+        process computes the full-set metrics (see multihost.py)."""
+        return {"loss_sum": self._loss_sum, "loss_count": self._loss_count,
+                "samples": self._samples,
+                "pre": list(self._pre_features),
+                "post": list(self._post_features)}
+
+    def merge_state(self, st: Dict, include_loss: bool = True) -> None:
+        """Fold another meter's ``state()`` into this one. Metrics are
+        order-insensitive, so merge order doesn't matter.
+        ``include_loss=False`` skips the loss accumulators — used when the
+        per-batch loss was computed globally on device and recorded
+        identically by every process (adding it again would multiply the
+        count by the process count)."""
+        self._logs_cache = None
+        if include_loss:
+            self._loss_sum += st["loss_sum"]
+            self._loss_count += st["loss_count"]
+        self._samples += st["samples"]
+        self._pre_features.extend(st["pre"])
+        self._post_features.extend(st["post"])
+
     def print_logs(self) -> List[str]:
         return [f"Loss: {self.loss:.4f}"]
 
@@ -103,6 +129,20 @@ class Ego4dRecognitionMeter(BaseMeter):
         self._verb_labels.append(labels[:, 0])
         self._noun_labels.append(labels[:, 1])
         self.update_loss(loss, len(labels))
+
+    def state(self) -> Dict:
+        return {**super().state(),
+                "verb_logits": list(self._verb_logits),
+                "verb_labels": list(self._verb_labels),
+                "noun_logits": list(self._noun_logits),
+                "noun_labels": list(self._noun_labels)}
+
+    def merge_state(self, st: Dict, include_loss: bool = True) -> None:
+        super().merge_state(st, include_loss)
+        self._verb_logits.extend(st["verb_logits"])
+        self._verb_labels.extend(st["verb_labels"])
+        self._noun_logits.extend(st["noun_logits"])
+        self._noun_labels.extend(st["noun_labels"])
 
     def _compute(self, which: str) -> Dict[str, float]:
         if which == "verbs":
@@ -191,6 +231,15 @@ class Ego4dOSCCMeter(BaseMeter):
         self._labels.append(np.asarray(labels))
         self.update_loss(loss, len(np.asarray(labels)))
 
+    def state(self) -> Dict:
+        return {**super().state(), "logits": list(self._logits),
+                "labels": list(self._labels)}
+
+    def merge_state(self, st: Dict, include_loss: bool = True) -> None:
+        super().merge_state(st, include_loss)
+        self._logits.extend(st["logits"])
+        self._labels.extend(st["labels"])
+
     @property
     def accuracy(self) -> float:
         return M.topk_accuracy_micro(np.concatenate(self._logits),
@@ -230,6 +279,17 @@ class Ego4dPNRMeter(BaseMeter):
                 pred_mapped = (ef - sf) / 16 * pred_idx
                 gt = pf - sf
                 self.loc_errors.append(abs(pred_mapped - gt) / 30.0)
+
+    def state(self) -> Dict:
+        return {**super().state(), "probs": list(self._probs),
+                "labels": list(self._labels),
+                "loc_errors": list(self.loc_errors)}
+
+    def merge_state(self, st: Dict, include_loss: bool = True) -> None:
+        super().merge_state(st, include_loss)
+        self._probs.extend(st["probs"])
+        self._labels.extend(st["labels"])
+        self.loc_errors.extend(st["loc_errors"])
 
     def _logs(self) -> Dict[str, float]:
         probs = np.concatenate(self._probs)
@@ -282,6 +342,24 @@ class Ego4dLTAMeter(BaseMeter):
         self._ed_nouns.extend(M.sequence_edit_distance(pn[:, ni:], ln[:, ni:]))
         self.update_loss(loss, labels.shape[0])
 
+    def state(self) -> Dict:
+        return {**super().state(),
+                "ed_verbs": list(self._ed_verbs),
+                "ed_nouns": list(self._ed_nouns),
+                "v_logits": list(self._v_logits),
+                "v_labels": list(self._v_labels),
+                "n_logits": list(self._n_logits),
+                "n_labels": list(self._n_labels)}
+
+    def merge_state(self, st: Dict, include_loss: bool = True) -> None:
+        super().merge_state(st, include_loss)
+        self._ed_verbs.extend(st["ed_verbs"])
+        self._ed_nouns.extend(st["ed_nouns"])
+        self._v_logits.extend(st["v_logits"])
+        self._v_labels.extend(st["v_labels"])
+        self._n_logits.extend(st["n_logits"])
+        self._n_labels.extend(st["n_labels"])
+
     def _logs(self) -> Dict[str, float]:
         return {
             "verbs_ed": float(np.mean(self._ed_verbs)) if self._ed_verbs else 0.0,
@@ -318,6 +396,20 @@ class Ego4dAnticipationMeter(BaseMeter):
         self._v_logits.append(vl[vm]); self._v_labels.append(labels[vm, 0])
         self._n_logits.append(nl[nm]); self._n_labels.append(labels[nm, 1])
         self.update_loss(loss, labels.shape[0])
+
+    def state(self) -> Dict:
+        return {**super().state(),
+                "v_logits": list(self._v_logits),
+                "v_labels": list(self._v_labels),
+                "n_logits": list(self._n_logits),
+                "n_labels": list(self._n_labels)}
+
+    def merge_state(self, st: Dict, include_loss: bool = True) -> None:
+        super().merge_state(st, include_loss)
+        self._v_logits.extend(st["v_logits"])
+        self._v_labels.extend(st["v_labels"])
+        self._n_logits.extend(st["n_logits"])
+        self._n_labels.extend(st["n_labels"])
 
     def _logs(self) -> Dict[str, float]:
         vl, vt = np.concatenate(self._v_logits), np.concatenate(self._v_labels)

@@ -8,15 +8,19 @@ unchanged (GSPMD routes DP gradients over ICI within a slice and DCN across
 slices by mesh construction).
 
 Wiring (round 2): the drivers call :func:`initialize` when
-``cfg.parallel.multihost`` is set, the train loaders take a
+``cfg.parallel.multihost`` is set, the loaders take a
 ``process_shard=(index, count)`` so each host loads only its slice of every
 global batch (the MultiLoader epoch schedule is derived from the same seed on
 every process, so the global batch semantics of the reference's multiloader
-are preserved), and :func:`put_batch` assembles the global arrays. Eval
-batches are replicated (every process feeds the full batch; outputs are
-replicated so every process computes identical metrics and only process 0
-logs). Verified in-image by a real 2-process ``jax.distributed`` CPU test
-(tests/test_multihost.py).
+are preserved), and :func:`put_batch` assembles the global arrays.
+
+Validation (round 3) is sharded the same way: each process meters only its
+addressable block of the eval outputs (:func:`local_block`), the per-batch
+loss is a global on-device reduction, and meter accumulator states merge
+across processes at epoch end (:func:`merge_meter` over
+:func:`allgather_bytes`) — N processes divide eval compute N ways and still
+produce metrics exactly equal to a single-process run. Verified in-image by
+real 2-process ``jax.distributed`` CPU tests (tests/test_multihost.py).
 """
 
 from __future__ import annotations
@@ -73,6 +77,52 @@ def global_batch(local_batch: Dict[str, Any], mesh: Mesh,
         k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
         for k, v in local_batch.items()
     }
+
+
+def local_block(arr) -> np.ndarray:
+    """Host view of this process's addressable block of a (possibly global)
+    array. Fully-addressable arrays fetch whole; under multi-host DP each
+    process gets the contiguous batch-axis block it contributed via
+    ``make_array_from_process_local_data`` — the rows matching its own host
+    batch, in order."""
+    if getattr(arr, "is_fully_addressable", True):
+        return np.asarray(arr)
+    shards = sorted(arr.addressable_shards,
+                    key=lambda s: (s.index[0].start or 0) if s.index else 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
+def allgather_bytes(payload: bytes) -> list:
+    """Allgather one variable-length bytes payload per process (meter-state
+    exchange for sharded validation). Two fixed-shape collectives: lengths
+    first, then the max-padded byte arrays. Returns payloads indexed by
+    process (order irrelevant to callers — each payload self-identifies)."""
+    if jax.process_count() == 1:
+        return [payload]
+    from jax.experimental import multihost_utils
+    data = np.frombuffer(payload, np.uint8)
+    lens = np.asarray(multihost_utils.process_allgather(
+        np.array([len(data)], np.int32))).reshape(-1)
+    padded = np.zeros(int(lens.max()), np.uint8)
+    padded[:len(data)] = data
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    return [gathered[i, :lens[i]].tobytes() for i in range(len(lens))]
+
+
+def merge_meter(meter) -> None:
+    """Fold every other process's meter accumulators into ``meter`` (sharded
+    multi-host validation). Loss accumulators are NOT merged: the per-batch
+    loss is a global on-device reduction recorded identically by every
+    process, so each meter already holds the full loss series."""
+    if jax.process_count() == 1:
+        return
+    import pickle
+    own = jax.process_index()
+    payload = pickle.dumps((own, meter.state()))
+    for blob in allgather_bytes(payload):
+        pid, st = pickle.loads(blob)
+        if pid != own:
+            meter.merge_state(st, include_loss=False)
 
 
 def put_batch(batch: Dict[str, Any], mesh: Mesh,

@@ -72,9 +72,10 @@ def task_weights_from_cfg(cfg) -> Dict[str, float]:
 def build_datasets(cfg) -> Dict[str, Dict[str, Any]]:
     """Instantiate the 4 task datasets + loaders (both mains build all four
     regardless of enabled_tasks, main_temporal.py:161-235). Under multi-host,
-    train loaders materialize only this process's block of every global batch
-    (multiloader epoch semantics preserved — same schedule seed everywhere);
-    val loaders stay full (eval batches are replicated, see multihost.py)."""
+    BOTH train and val loaders materialize only this process's block of every
+    global batch (multiloader epoch/schedule semantics preserved — same seed
+    everywhere); sharded validation merges meter states at epoch end
+    (multihost.merge_meter), so no process duplicates eval compute."""
     out = {}
     shard = mh.process_shard()
     dataset_cfgs = {"ar": cfg.dataset_recognition, "oscc": cfg.dataset_oscc,
@@ -88,7 +89,8 @@ def build_datasets(cfg) -> Dict[str, Dict[str, Any]]:
                                          cfg.num_workers, True, seed=cfg.seed,
                                          process_shard=shard),
             "dl_val": build_dataloader(val, cfg.batch_size, False,
-                                       cfg.num_workers, False, seed=cfg.seed),
+                                       cfg.num_workers, False, seed=cfg.seed,
+                                       process_shard=shard),
         }
     sizes = {n: d["train"].features_size for n, d in out.items()}
     assert len(set(sizes.values())) == 1, \
@@ -186,11 +188,13 @@ def _run_validation(cfg, system, params, banks, dsets, task_weights, epoch,
     Returns ``{task: meter.get_logs()}`` for the validated tasks. When a mesh
     is given, eval batches shard on the data axis like the train batches
     (the val loader pads every batch to a constant batch_size, so shapes stay
-    divisible)."""
+    divisible). Under multi-host each process contributes its loader block of
+    every global batch and meters only that block; meter states merge across
+    processes at the end (multihost.merge_meter) — no replicated eval
+    compute, metrics exactly equal to a single-process run."""
     x_dtype = _transfer_dtype(system)
-    replicated = jax.process_count() > 1
-    put = ((lambda b: mh.put_batch(b, mesh, replicated=replicated,
-                                   x_dtype=x_dtype))
+    sharded = jax.process_count() > 1 and mesh is not None
+    put = ((lambda b: mh.put_batch(b, mesh, x_dtype=x_dtype))
            if mesh is not None else None)
     metrics: Dict[str, Dict[str, Any]] = {}
     for name in TASKS:
@@ -203,13 +207,16 @@ def _run_validation(cfg, system, params, banks, dsets, task_weights, epoch,
         step = eval_steps[name]
         if name == "lta":
             validate_lta(step, params, banks, dsets[name]["dl_val"], meter,
-                         sample_fn, jax.random.fold_in(rng, epoch), put=put)
+                         sample_fn, jax.random.fold_in(rng, epoch), put=put,
+                         sharded=sharded)
         elif name == "pnr":
             validate_pnr(step, params, banks, dsets[name]["dl_val"], meter,
-                         put=put)
+                         put=put, sharded=sharded)
         else:
             validate(step, params, banks, dsets[name]["dl_val"], meter, name,
-                     put=put)
+                     put=put, sharded=sharded)
+        if sharded:
+            mh.merge_meter(meter)
         title = {"ar": "Recognition", "oscc": "OSCC", "lta": "LTA",
                  "pnr": "PNR"}[name]
         logger.info(" ## %s ## ", title)

@@ -81,6 +81,23 @@ def main() -> None:
         np.abs(np.asarray(jax.device_get(l))).sum()
         for l in jax.tree_util.tree_leaves(params)))
 
+    # sharded validation: each process meters only its loader block; merged
+    # meter logs must equal the single-process control exactly
+    from egopack_tpu.eval.meters import build_meter_for_dataset
+    from egopack_tpu.eval.validate import validate
+    ds_val = instantiate(cfg.dataset_recognition, split="val")
+    val_loader = build_dataloader(ds_val, 8, False, 0, False, seed=7,
+                                  process_shard=mh.process_shard())
+    eval_step = system.make_eval_step("ar")
+    meter = build_meter_for_dataset(ds_val)
+    sharded = n_proc > 1
+    validate(eval_step, params, None, val_loader, meter, "ar",
+             put=lambda b: mh.put_batch(b, mesh), sharded=sharded)
+    if sharded:
+        mh.merge_meter(meter)
+    val_logs = {k: float(v) for k, v in meter.get_logs().items()
+                if isinstance(v, (int, float, np.floating))}
+
     if artifact_dir:
         # regression for the artifact-save deadlock: save_artifact's shard
         # gather is a collective, so EVERY process must reach it (gating the
@@ -88,7 +105,8 @@ def main() -> None:
         from egopack_tpu.train.checkpoint import save_artifact
         save_artifact(artifact_dir, "MTL_ar", dict(params))
 
-    print(json.dumps({"pid": pid, "loss": loss, "checksum": checksum}),
+    print(json.dumps({"pid": pid, "loss": loss, "checksum": checksum,
+                      "val": val_logs}),
           flush=True)
 
 

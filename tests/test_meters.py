@@ -162,3 +162,77 @@ def test_anticipation_meter(ego4d_root):
     logs = meter.get_logs()
     assert 0 <= logs["verbs_recall_top5"] <= 1
     assert 0 <= logs["nouns_accuracy_top1"] <= 1
+
+
+def test_meter_state_merge_matches_single(ego4d_root):
+    """Sharded multi-host eval contract: metering half the batches on each of
+    two meters and merging states must reproduce the single-meter metrics
+    exactly (order-insensitive accumulators), for every meter class."""
+    import pickle
+
+    from egopack_tpu.data import (Ego4dLTADataset, Ego4dOSCCDataset,
+                                  Ego4dPNRDataset, Ego4dRecognitionDataset)
+    from egopack_tpu.eval.meters import build_meter_for_dataset
+
+    rng = np.random.default_rng(7)
+
+    def updates_recognition(_):
+        for i in range(4):
+            logits = (rng.normal(size=(10, 12)), rng.normal(size=(10, 9)))
+            labels = np.stack([rng.integers(0, 12, 10),
+                               rng.integers(0, 9, 10)], 1)
+            yield (logits, labels, float(rng.uniform(0.5, 2.0)))
+
+    def updates_oscc(_):
+        for i in range(4):
+            yield (rng.normal(size=(10, 2)), rng.integers(0, 2, 10),
+                   float(rng.uniform(0.5, 2.0)))
+
+    def updates_pnr(_):
+        for i in range(4):
+            yield dict(logits=rng.normal(size=(6, 16)),
+                       labels=rng.integers(0, 2, (6, 16)),
+                       loss=float(rng.uniform(0.5, 2.0)),
+                       start_frame=rng.integers(0, 10, 6),
+                       end_frame=rng.integers(100, 200, 6),
+                       pnr_frame=rng.integers(20, 80, 6))
+
+    def updates_lta(_):
+        for i in range(4):
+            n = 2 * 22
+            logits = (rng.normal(size=(n, 12)), rng.normal(size=(n, 9)))
+            labels = np.stack([rng.integers(0, 12, n),
+                               rng.integers(0, 9, n)], 1)
+            preds = (rng.integers(0, 12, (n, 5)), rng.integers(0, 9, (n, 5)))
+            yield (logits, labels, preds, float(rng.uniform(0.5, 2.0)))
+
+    cases = [
+        (Ego4dRecognitionDataset, updates_recognition, "args"),
+        (Ego4dOSCCDataset, updates_oscc, "args"),
+        (Ego4dPNRDataset, updates_pnr, "kwargs"),
+        (Ego4dLTADataset, updates_lta, "args"),
+    ]
+    for cls, gen, mode in cases:
+        ds = cls("val", num_segments=3, root=ego4d_root) \
+            if cls is not Ego4dPNRDataset else cls("val", root=ego4d_root)
+        single = build_meter_for_dataset(ds, save_features=True)
+        halves = [build_meter_for_dataset(ds, save_features=True)
+                  for _ in range(2)]
+        for i, upd in enumerate(gen(None)):
+            for m in (single, halves[i % 2]):
+                if mode == "kwargs":
+                    m.update(upd["logits"], upd["labels"], upd["loss"],
+                             start_frame=upd["start_frame"],
+                             end_frame=upd["end_frame"],
+                             pnr_frame=upd["pnr_frame"])
+                else:
+                    m.update(*upd)
+                m.update_features(post=np.full((3, 4), float(i)))
+        # state round-trips through pickle (the allgather wire format)
+        st = pickle.loads(pickle.dumps(halves[1].state()))
+        halves[0].merge_state(st, include_loss=True)
+        a, b = single.get_logs(), halves[0].get_logs()
+        assert a.keys() == b.keys()
+        for k in a:
+            assert a[k] == pytest.approx(b[k], rel=1e-12), (cls.__name__, k)
+        assert len(halves[0]._post_features) == len(single._post_features)
