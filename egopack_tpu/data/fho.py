@@ -300,34 +300,34 @@ class Ego4dAnticipationDataset(Ego4dFHODataset):
         return len(self.annotations)
 
     def get(self, idx: int, rng: Optional[np.random.Generator] = None) -> Dict[str, np.ndarray]:
+        """Vectorized: ONE batched sampler + ONE native gather over all
+        pre-action second-windows (the same host hot path as the other four
+        loaders — per-second windows ``[max(1, (sf+sec·30)//stride)-1,
+        max(1, (sf+(1+sec)·30)//stride))``, reference
+        /root/reference/data/ego4d_fho.py:277-296; out-of-range/empty windows
+        zero-fill like the reference's try/except guard)."""
         action = self.annotations[idx]
         feats = self._store[action.video_uid]
-        data, n_secs = [], self.anticipation_secs - self.blackout_secs
-        for sec in range(-self.anticipation_secs, -self.blackout_secs):
-            start = max(1, (action.start_frame + sec * 30) // self.stride) - 1
-            end = max(1, (action.start_frame + (1 + sec) * 30) // self.stride)
-            window = feats[start:end]
-            try:
-                if self.split == "train" and rng is not None:
-                    data.append(np.asarray(
-                        sampling.random_sampling(window, self.num_segments, rng),
-                        dtype=np.float32))
-                else:
-                    data.append(np.asarray(
-                        sampling.uniform_sampling(window, self.num_segments),
-                        dtype=np.float32))
-            except (IndexError, ValueError):
-                data.append(np.zeros((self.num_segments, self.features_size),
-                                     np.float32))
+        n_rows = feats.shape[0]
+        secs = np.arange(-self.anticipation_secs, -self.blackout_secs,
+                         dtype=np.int64)
+        starts = np.maximum(1, (action.start_frame + secs * 30)
+                            // self.stride) - 1
+        ends = np.maximum(1, (action.start_frame + (secs + 1) * 30)
+                          // self.stride)
+        starts = np.minimum(starts, n_rows)
+        sizes = np.maximum(np.minimum(ends, n_rows) - starts, 0)
+        train_rng = rng if (self.split == "train" and rng is not None) else None
+        x = self._gather_windows(action.video_uid, starts, sizes, train_rng)
         y = np.full((self.num_nodes, 2), -1, dtype=np.int32)
         if self.append_node is not None:
             if self.append_node == "random":
                 gen = rng or np.random.default_rng(0)
-                data.append(gen.random(data[-1].shape).astype(np.float32))
+                extra = gen.random(x.shape[1:]).astype(np.float32)
             elif self.append_node == "zero":
-                data.append(np.zeros_like(data[-1]))
+                extra = np.zeros(x.shape[1:], np.float32)
             else:
-                data.append(np.stack(data).mean(0))
+                extra = x.mean(0)
+            x = np.concatenate([x, extra[None]], axis=0)
         y[-1] = (action.verb_label, action.noun_label)
-        del n_secs
-        return {"x": np.stack(data), "y": y}
+        return {"x": x, "y": y}

@@ -13,6 +13,7 @@ run tests/test_config.py tests/test_data.py tests/test_meters.py \
     tests/test_validation.py tests/test_precision.py
 run tests/test_train_infra.py tests/test_multihost.py
 run tests/test_reference_parity.py
+run tests/test_shim_contract.py
 run tests/test_multichip.py tests/test_learning.py
 run tests/test_end_to_end.py -k "not sweep_runner and not midrun and not trainable and not cold_reload"
 run tests/test_end_to_end.py -k "sweep_runner or midrun or trainable or cold_reload"
