@@ -1,18 +1,22 @@
 #!/usr/bin/env python3
-"""Benchmark: Ego4D clips/sec/chip, fwd+bwd, MTL phase.
+"""Benchmark: Ego4D clips/sec/chip, fwd+bwd, both training phases.
 
-Measures the fused multi-task train step (AR+LTA+PNR, batch 16 per task —
-the experiments/mtl.yaml configuration the reference trains with) at full
-model size (Omnivore 1536-d features, hidden 1024). One step processes
-3 × 16 = 48 clips; throughput = clips / wall-time with device sync.
+Line 1 (the driver's headline — keep first): the fused multi-task train step
+(AR+LTA+PNR, batch 16 per task — the experiments/mtl.yaml configuration the
+reference trains with) at full model size (Omnivore 1536-d features, hidden
+1024). One step processes 3 × 16 = 48 clips.
+
+Line 2: the EgoPack phase-2 step (novel OSCC, 3 prototype banks P=2048,
+graphone depth 3, backprop backbone — the BASELINE.md phase-2 row), 16
+clips/step — so interact-path perf regressions are driver-visible.
 
 The reference publishes no throughput anywhere (BASELINE.md); the
-``vs_baseline`` denominator below is the A100-class estimate recorded in
-BASELINE.md (reference recipe on a single modern GPU, PyG pipeline,
-~40-50 it/s × 48 clips ≈ 2000 clips/s), to be replaced by a measured number
-when a reference-capable environment exists.
+``vs_baseline`` denominators are the A100-class estimates recorded in
+BASELINE.md (reference PyG pipeline ~40 it/s ⇒ 2000 clips/s at 48 clips/it
+for MTL, 640 clips/s at 16 clips/it for phase 2), to be replaced by measured
+numbers when a reference-capable environment exists.
 
-Output: ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Output: one JSON line per phase {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
@@ -33,6 +37,9 @@ from egopack_tpu.train import optim as topt
 # the same silicon). 2000 clips/s remains the documented GPU-dispatch-bound
 # estimate for the reference on an A100; see BASELINE.md "Measured baseline".
 REFERENCE_BASELINE_CLIPS_PER_SEC = 2000.0
+# phase-2 denominator: same ~40 it/s dispatch-bound envelope, 16 clips/it
+# (one primary task per step in the reference's phase-2 loop)
+REFERENCE_EGOPACK_BASELINE_CLIPS_PER_SEC = 640.0
 
 BATCH = 16
 ACTIVE = ("ar", "lta", "pnr")
@@ -40,7 +47,32 @@ WARMUP = 5
 STEPS = 10  # x steps_per_call inner steps
 
 
-def main():
+def _sync(logs):
+    """Force TRUE device completion by fetching a value to host.
+
+    CRITICAL (round-2 finding): on this image's remote 'axon' TPU platform,
+    ``jax.block_until_ready`` returns once the call is ENQUEUED server-side,
+    not when it has executed — timing with it overstates throughput by up to
+    ~35x. Fetching a scalar from the last step's outputs is the only sync
+    that reflects execution. Round-1 numbers in BASELINE.md measured with
+    block_until_ready are superseded by the corrected table there."""
+    import numpy as np
+    return float(np.asarray(jax.tree_util.tree_leaves(logs)[0]).ravel()[-1])
+
+
+def _timed_windows(run_steps, n_windows: int = 7):
+    """Median of several timed windows — the dev chip sits behind a shared
+    network tunnel whose latency varies run to run."""
+    windows = []
+    for w in range(n_windows):
+        t0 = time.perf_counter()
+        logs = run_steps(w)
+        _sync(logs)
+        windows.append(time.perf_counter() - t0)
+    return sorted(windows)[len(windows) // 2]
+
+
+def bench_mtl():
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16" \
         else jnp.float32
     feat_dim, hidden = 1536, 1024
@@ -75,38 +107,22 @@ def main():
 
     batch_list = tuple(make_group(s) for s in range(spc))
 
-    def sync(logs):
-        """Force TRUE device completion by fetching a value to host.
-
-        CRITICAL (round-2 finding): on this image's remote 'axon' TPU
-        platform, ``jax.block_until_ready`` returns once the call is
-        ENQUEUED server-side, not when it has executed — timing with it
-        overstates throughput by up to ~35x. Fetching a scalar from the
-        last step's outputs is the only sync that reflects execution.
-        Round-1 numbers in BASELINE.md measured with block_until_ready are
-        superseded by the corrected table there."""
-        import numpy as np
-        return float(np.asarray(jax.tree_util.tree_leaves(logs)[0]).ravel()[-1])
-
     rng = jax.random.PRNGKey(1)
+    state = [params, opt_state]
     for i in range(WARMUP):
-        params, opt_state, logs = step(params, opt_state, batch_list,
-                                       jax.random.fold_in(rng, i), i * spc,
-                                       1e-5)
-    sync(logs)
+        state[0], state[1], logs = step(state[0], state[1], batch_list,
+                                        jax.random.fold_in(rng, i), i * spc,
+                                        1e-5)
+    _sync(logs)
 
-    # several timed windows; report the median window — the dev chip sits
-    # behind a shared network tunnel whose latency varies run to run
-    windows = []
-    for w in range(7):
-        t0 = time.perf_counter()
+    def run_steps(w):
         for i in range(STEPS):
-            params, opt_state, logs = step(params, opt_state, batch_list,
-                                           jax.random.fold_in(rng, w * 1000 + i),
-                                           i * spc, 1e-5)
-        sync(logs)
-        windows.append(time.perf_counter() - t0)
-    elapsed = sorted(windows)[len(windows) // 2]
+            state[0], state[1], logs = step(state[0], state[1], batch_list,
+                                            jax.random.fold_in(rng, w * 1000 + i),
+                                            i * spc, 1e-5)
+        return logs
+
+    elapsed = _timed_windows(run_steps)
 
     n_chips = mesh.shape["data"] * mesh.shape["model"]
     clips = STEPS * spc * len(ACTIVE) * BATCH * mesh.shape["data"]
@@ -117,7 +133,92 @@ def main():
         "unit": "clips/s/chip",
         "vs_baseline": round(clips_per_sec_per_chip
                              / REFERENCE_BASELINE_CLIPS_PER_SEC, 3),
-    }))
+    }), flush=True)
+
+
+def bench_egopack():
+    """Phase-2 hot loop: novel-OSCC EgoPack step (3 model-axis-shardable
+    prototype banks P=2048, graphone depth 3 / k=8 — configs/defaults.yaml
+    graphone block, backprop backbone) at full model size (SURVEY §3.3)."""
+    import numpy as np
+
+    from egopack_tpu.models.graphone import GraphONE, PrototypeBank
+    from egopack_tpu.train.driver import CKPT_KEYS, trainable_mask_fn
+
+    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16" \
+        else jnp.float32
+    feat_dim, hidden, p_pad = 1536, 1024, 2048
+    system = ge._build_system(hidden, 1024, feat_dim, phase2=True)
+    system.compute_dtype = dtype
+    params = system.init_params(jax.random.PRNGKey(0), feat_dim)
+
+    aux_tasks = ("ar", "lta", "pnr")
+    brng = np.random.default_rng(3)
+    banks = {}
+    for t in aux_tasks:
+        vals = brng.normal(size=(p_pad, hidden)).astype(np.float32)
+        mask = np.zeros(p_pad, bool)
+        mask[:1900] = True  # realistic valid-prototype fill
+        banks[t] = PrototypeBank(jnp.asarray(vals), jnp.asarray(mask))
+    graphone = GraphONE(task_labels=aux_tasks, features_size=hidden,
+                        hidden_size=hidden, k=8, depth=3, residual=False)
+    feats0 = {t: jnp.zeros((4, hidden)) for t in aux_tasks}
+    params["graphone"] = graphone.init(jax.random.PRNGKey(2), feats0, banks,
+                                       method="interact")["params"]
+
+    mesh = pmesh.make_mesh(len(jax.devices()), 1)
+    params = pmesh.place_params(params, mesh)
+    banks = pmesh.place_banks(banks, mesh)
+    mask = trainable_mask_fn(["temporal_graph", CKPT_KEYS["oscc"],
+                              "graphone"])
+    optimizer = topt.adam(1e-6, 1e-5, trainable_mask=mask,
+                          moments_dtype=os.environ.get("BENCH_MOMENTS_DTYPE",
+                                                       "float32"))
+    opt_state = topt.init_opt_state(optimizer, params, mesh)
+    spc = int(os.environ.get("BENCH_STEPS_PER_CALL", "4"))
+    step = system.make_egopack_train_step_multi(
+        optimizer, ("oscc",), graphone, spc, backprop_temporal_graph=True,
+        temporal_graph_train_mode=False, late_fusion=True)
+
+    def make_group(seed):
+        b = ge._synthetic_batches(system, BATCH * mesh.shape["data"], feat_dim,
+                                  seed=seed)
+        return {"oscc": pmesh.shard_batch(b["oscc"], mesh)}
+
+    batch_list = tuple(make_group(s) for s in range(spc))
+    rng = jax.random.PRNGKey(1)
+    state = [params, opt_state]
+    for i in range(WARMUP):
+        state[0], state[1], logs = step(state[0], state[1], banks, batch_list,
+                                        jax.random.fold_in(rng, i), i * spc,
+                                        1e-6)
+    _sync(logs)
+
+    def run_steps(w):
+        for i in range(STEPS):
+            state[0], state[1], logs = step(state[0], state[1], banks,
+                                            batch_list,
+                                            jax.random.fold_in(rng, w * 1000 + i),
+                                            i * spc, 1e-6)
+        return logs
+
+    elapsed = _timed_windows(run_steps)
+    n_chips = mesh.shape["data"] * mesh.shape["model"]
+    clips = STEPS * spc * BATCH * mesh.shape["data"]
+    clips_per_sec_per_chip = clips / elapsed / n_chips
+    print(json.dumps({
+        "metric": "ego4d_egopack_oscc_clips_per_sec_per_chip_fwd_bwd",
+        "value": round(clips_per_sec_per_chip, 1),
+        "unit": "clips/s/chip",
+        "vs_baseline": round(clips_per_sec_per_chip
+                             / REFERENCE_EGOPACK_BASELINE_CLIPS_PER_SEC, 3),
+    }), flush=True)
+
+
+def main():
+    bench_mtl()
+    if os.environ.get("BENCH_SKIP_EGOPACK") != "1":
+        bench_egopack()
 
 
 if __name__ == "__main__":

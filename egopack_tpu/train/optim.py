@@ -12,7 +12,7 @@ step never recompiles.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional
+from typing import Any, Callable, NamedTuple, Optional
 
 import optax
 
@@ -60,10 +60,91 @@ def _scale_by_adam_lowp(b1: float, b2: float, eps: float,
     return optax.GradientTransformation(init, update)
 
 
+class FusedAdamState(NamedTuple):
+    """Pytree-compatible state mirroring inject_hyperparams' surface: the
+    drivers mutate ``state.hyperparams['learning_rate']`` and orbax
+    checkpoints the whole tuple (count + full-shape moment trees)."""
+    hyperparams: dict
+    count: Any
+    mu: Any
+    nu: Any
+
+
+class FusedAdam:
+    """Single-pass Adam: one Pallas kernel per leaf does coupled weight
+    decay + moment updates + the parameter step (ops/pallas/fused_adam.py),
+    reading p/g/m/v once and writing p/m/v once. Exact update math of the
+    optax chain below (``impl='optax'``); opted in via ``optimizer.impl=
+    fused``. Exposes ``fused_apply`` instead of the two-phase
+    ``update``/apply — the train steps branch on it (train/system.py).
+
+    Masked (non-trainable) leaves reproduce ``optax.masked`` exactly:
+    ``p' = p + g`` with untouched moments (grads are zero for params outside
+    the loss graph, so frozen params stay bit-identical). Moments for masked
+    leaves are allocated zeros — HBM-resident but never read or written, so
+    they cost capacity, not bandwidth, and keep the checkpoint tree shaped
+    like the params tree."""
+
+    def __init__(self, lr, weight_decay, b1, b2, eps, trainable_mask,
+                 moments_dtype):
+        import jax.numpy as jnp
+        self.lr = lr
+        self.weight_decay = float(weight_decay)
+        self.b1, self.b2, self.eps = float(b1), float(b2), float(eps)
+        self.trainable_mask = trainable_mask
+        self.m_dtype = jnp.dtype(moments_dtype or "float32")
+
+    def init(self, params) -> FusedAdamState:
+        import jax
+        import jax.numpy as jnp
+        zeros = lambda p: jnp.zeros(p.shape, self.m_dtype)  # noqa: E731
+        return FusedAdamState(
+            hyperparams={"learning_rate": jnp.asarray(self.lr, jnp.float32)},
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree_util.tree_map(zeros, params),
+            nu=jax.tree_util.tree_map(zeros, params))
+
+    def fused_apply(self, grads, state: FusedAdamState, params):
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.pallas.fused_adam import fused_adam_leaf
+
+        count = optax.safe_int32_increment(state.count)
+        f32 = jnp.float32
+        # scalar bits identical to optax.bias_correction
+        bc1 = 1 - self.b1 ** count.astype(f32)
+        bc2 = 1 - self.b2 ** count.astype(f32)
+        lr = state.hyperparams["learning_rate"]
+        mask = (self.trainable_mask(params)
+                if callable(self.trainable_mask) else self.trainable_mask)
+        if mask is None:
+            mask = jax.tree_util.tree_map(lambda _: True, params)
+
+        def leaf(p, g, m, v, on):
+            if not on:
+                # optax.masked pass-through: updates == raw grads (zero for
+                # params outside the loss graph)
+                return p + g, m, v
+            return fused_adam_leaf(p, g, m, v, lr, bc1, bc2,
+                                   wd=self.weight_decay, b1=self.b1,
+                                   b2=self.b2, eps=self.eps,
+                                   m_dtype=self.m_dtype)
+        out = jax.tree_util.tree_map(leaf, params, grads, state.mu, state.nu,
+                                     mask)
+        is_triple = lambda x: isinstance(x, tuple) and len(x) == 3  # noqa
+        new_p = jax.tree_util.tree_map(lambda t: t[0], out, is_leaf=is_triple)
+        new_m = jax.tree_util.tree_map(lambda t: t[1], out, is_leaf=is_triple)
+        new_v = jax.tree_util.tree_map(lambda t: t[2], out, is_leaf=is_triple)
+        return new_p, FusedAdamState(hyperparams=dict(state.hyperparams),
+                                     count=count, mu=new_m, nu=new_v)
+
+
 def adam(lr: float = 1e-5, weight_decay: float = 0.0,
          b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
          trainable_mask=None,
-         moments_dtype: str = "float32") -> optax.GradientTransformation:
+         moments_dtype: str = "float32",
+         impl: str = "optax"):
     """torch.optim.Adam equivalent (coupled L2 weight decay).
 
     ``trainable_mask``: pytree (or prefix) of bools. torch skips params whose
@@ -74,7 +155,14 @@ def adam(lr: float = 1e-5, weight_decay: float = 0.0,
     step; the mask restores the exact torch semantics.
 
     ``moments_dtype``: "float32" (default, exact torch parity) or "bfloat16"
-    (opt-in HBM-bandwidth lever; see _scale_by_adam_lowp)."""
+    (opt-in HBM-bandwidth lever; see _scale_by_adam_lowp).
+
+    ``impl``: "optax" (default — the chain below) or "fused" (the
+    single-pass Pallas kernel, see FusedAdam; same math, measured A/B in
+    BASELINE.md)."""
+    if impl == "fused":
+        return FusedAdam(lr, weight_decay, b1, b2, eps, trainable_mask,
+                         moments_dtype)
 
     def make(learning_rate):
         steps = []

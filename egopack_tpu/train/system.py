@@ -322,9 +322,16 @@ class MultiTaskSystem:
             if per_layer_norms:
                 logs.update(_subtree_norms(grads, "grad_norm"))
                 logs.update(_subtree_norms(params, "param_norm"))
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = jax.tree_util.tree_map(
-                lambda p, u: p + u, params, updates)
+            if hasattr(optimizer, "fused_apply"):
+                # single-pass Pallas Adam (optim.FusedAdam): decay + moments
+                # + parameter step fused, one read/write per tensor
+                params, opt_state = optimizer.fused_apply(grads, opt_state,
+                                                          params)
+            else:
+                updates, opt_state = optimizer.update(grads, opt_state,
+                                                      params)
+                params = jax.tree_util.tree_map(
+                    lambda p, u: p + u, params, updates)
             return params, opt_state, logs
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -518,8 +525,14 @@ class MultiTaskSystem:
             if per_layer_norms:
                 logs.update(_subtree_norms(grads, "grad_norm"))
                 logs.update(_subtree_norms(params, "param_norm"))
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+            if hasattr(optimizer, "fused_apply"):
+                params, opt_state = optimizer.fused_apply(grads, opt_state,
+                                                          params)
+            else:
+                updates, opt_state = optimizer.update(grads, opt_state,
+                                                      params)
+                params = jax.tree_util.tree_map(lambda p, u: p + u, params,
+                                                updates)
             return params, opt_state, logs
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))

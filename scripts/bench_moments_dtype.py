@@ -36,10 +36,15 @@ ARMS = {
     "bf16_moments": {"moments_dtype": "bfloat16", "log_norms": True},
     "no_norms": {"moments_dtype": "float32", "log_norms": False},
     "both": {"moments_dtype": "bfloat16", "log_norms": False},
+    # single-pass Pallas Adam (optim.FusedAdam) vs the optax chain
+    "fused": {"moments_dtype": "float32", "log_norms": True,
+              "impl": "fused"},
+    "fused_bf16": {"moments_dtype": "bfloat16", "log_norms": True,
+                   "impl": "fused"},
 }
 
 
-def build(moments_dtype: str, log_norms: bool):
+def build(moments_dtype: str, log_norms: bool, impl: str = "optax"):
     import jax.numpy as jnp
     feat_dim, hidden = 1536, 1024
     system = ge._build_system(hidden, 1024, feat_dim)
@@ -51,7 +56,7 @@ def build(moments_dtype: str, log_norms: bool):
     mask = trainable_mask_fn(["temporal_graph"]
                              + [CKPT_KEYS[t] for t in ACTIVE])
     optimizer = topt.adam(1e-5, 1e-5, trainable_mask=mask,
-                          moments_dtype=moments_dtype)
+                          moments_dtype=moments_dtype, impl=impl)
     opt_state = topt.init_opt_state(optimizer, params, mesh)
     step = system.make_train_step_multi(optimizer, ACTIVE, SPC,
                                         log_norms=log_norms)

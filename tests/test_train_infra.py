@@ -274,3 +274,95 @@ def test_latest_state_ignores_orbax_tmp_dirs(tmp_path):
     (tmp_path / "step_000005.orbax-checkpoint-tmp-1234567").mkdir()
     (tmp_path / "step_junk").mkdir()
     assert latest_state(str(tmp_path)) == 3
+
+
+def test_fused_adam_matches_optax_chain():
+    """The single-pass Pallas Adam (optimizer.impl=fused) must reproduce the
+    production optax chain exactly: multi-step trajectory with coupled weight
+    decay, a masked (frozen) subtree, and both 128-aligned (Pallas path) and
+    ragged (jnp fallback path) leaf sizes."""
+    import jax
+    import jax.numpy as jnp
+    from egopack_tpu.train import optim as topt
+
+    rng = np.random.default_rng(0)
+    params = {
+        "a": {"kernel": jnp.asarray(rng.normal(size=(64, 512)), jnp.float32),
+              "bias": jnp.asarray(rng.normal(size=(512,)), jnp.float32)},
+        "b": {"kernel": jnp.asarray(rng.normal(size=(33, 7)), jnp.float32)},
+        "frozen": {"kernel": jnp.asarray(rng.normal(size=(16, 16)),
+                                         jnp.float32)},
+    }
+    mask_fn = lambda p: {k: jax.tree_util.tree_map(lambda _: k != "frozen", v)
+                         for k, v in p.items()}
+
+    def run(impl, moments_dtype="float32"):
+        opt = topt.adam(1e-3, weight_decay=0.01, trainable_mask=mask_fn,
+                        moments_dtype=moments_dtype, impl=impl)
+        state = jax.jit(opt.init)(params)
+        p = params
+
+        @jax.jit
+        def step(p, state, grads, lr):
+            state.hyperparams["learning_rate"] = lr
+            if hasattr(opt, "fused_apply"):
+                return opt.fused_apply(grads, state, p)
+            updates, state = opt.update(grads, state, p)
+            return jax.tree_util.tree_map(lambda a, u: a + u, p, updates), state
+
+        for i in range(5):
+            g_rng = np.random.default_rng(100 + i)
+            grads = jax.tree_util.tree_map(
+                lambda l: jnp.asarray(g_rng.normal(size=l.shape), jnp.float32),
+                p)
+            # frozen subtree gets zero grads (outside the loss graph)
+            grads["frozen"] = jax.tree_util.tree_map(jnp.zeros_like,
+                                                     grads["frozen"])
+            p, state = step(p, state, grads, 1e-3 * (0.9 ** i))
+        return p
+
+    ref = run("optax")
+    fused = run("fused")
+    for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(ref)[0],
+            jax.tree_util.tree_flatten_with_path(fused)[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-7, atol=1e-7, err_msg=str(kp))
+    # frozen subtree bit-identical to its initial values under both impls
+    np.testing.assert_array_equal(np.asarray(fused["frozen"]["kernel"]),
+                                  np.asarray(params["frozen"]["kernel"]))
+
+    # bf16-moments variant tracks the optax bf16 lever
+    ref16 = run("optax", "bfloat16")
+    fused16 = run("fused", "bfloat16")
+    for a, b in zip(jax.tree_util.tree_leaves(ref16),
+                    jax.tree_util.tree_leaves(fused16)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_fused_adam_driver_trajectory_and_resume(ego4d_root, tmp_path):
+    """optimizer.impl=fused through the full driver: same training
+    trajectory as the optax chain (tight tolerance - same math, different
+    program), and the FusedAdamState checkpoints/resumes through orbax."""
+    import jax
+
+    base = _mtl_overrides(ego4d_root, str(tmp_path),
+                          ["enabled_tasks=[oscc]", "num_epochs=2",
+                           "save_model=False", "optimizer.weight_decay=0.01"])
+    ref = main_temporal.main(list(base))
+    fused = main_temporal.main(list(base) + ["optimizer.impl=fused"])
+    for a, b in zip(jax.tree_util.tree_leaves(ref["params"]),
+                    jax.tree_util.tree_leaves(fused["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+    # mid-run resume with the fused state through orbax
+    ck = [f"checkpoint.enable=True", f"checkpoint.dir={tmp_path}/ckf",
+          "optimizer.impl=fused"]
+    main_temporal.main(list(base) + ck + ["num_epochs=1"])
+    resumed = main_temporal.main(list(base) + ck + ["num_epochs=2"])
+    for a, b in zip(jax.tree_util.tree_leaves(resumed["params"]),
+                    jax.tree_util.tree_leaves(fused["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
