@@ -39,8 +39,16 @@ from jax.experimental.pallas import tpu as pltpu
 # double buffering
 _BLOCK_ROWS = 512
 _LANES = 128
-# below this many elements the dispatch overhead outweighs any bandwidth win
-_MIN_PALLAS_SIZE = 16 * 1024
+# below this many elements the dispatch overhead outweighs any bandwidth win.
+# Overridable: on this image's tunneled dev TPU, Mosaic compiles cost ~300s
+# for the first kernel shape and ~170s per additional shape (measured,
+# BASELINE.md), so EGOPACK_FUSED_ADAM_MIN_SIZE=1048576 restricts Pallas to
+# the two big-leaf shape classes (95% of optimizer bytes) to fit compile
+# windows; direct-attached TPUs compile in seconds and can keep the default.
+import os as _os
+
+_MIN_PALLAS_SIZE = int(_os.environ.get("EGOPACK_FUSED_ADAM_MIN_SIZE",
+                                       16 * 1024))
 
 
 def _adam_math(p, g, m, v, lr, bc1, bc2, *, wd, b1, b2, eps, m_dtype):

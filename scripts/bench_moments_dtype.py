@@ -78,13 +78,17 @@ def main():
     arm_defs = ({k: ARMS[k] for k in sel.split(",")} if sel else ARMS)
     arms = {}
     for name, kw in arm_defs.items():
+        t0 = time.time()
         step, params, opt_state, batch_list = build(**kw)
+        print(f"[{name}] built in {time.time() - t0:.1f}s", flush=True)
         rng = jax.random.PRNGKey(1)
+        t0 = time.time()
         for i in range(3):  # warmup/compile
             params, opt_state, logs = step(params, opt_state, batch_list,
                                            jax.random.fold_in(rng, i),
                                            i * SPC, 1e-5)
         sync(logs)
+        print(f"[{name}] warm in {time.time() - t0:.1f}s", flush=True)
         arms[name] = [step, params, opt_state, batch_list, rng]
 
     times = {name: [] for name in arms}
