@@ -10,7 +10,6 @@ onto the MXU — no scatter/gather message passing exists on the device path
 from __future__ import annotations
 
 import math
-import os
 from typing import Optional
 
 import flax.linen as nn
@@ -155,18 +154,11 @@ class DenseSAGEConv(nn.Module):
         return jnp.where(adj.any(-1, keepdims=True), agg, 0.0)
 
     def __call__(self, x: jax.Array, adj: jax.Array) -> jax.Array:
-        # x: (B, N, H); adj: (B, N, N) or (N, N) bool in-neighbor mask
-        if (os.environ.get("EGOPACK_SAGE_IMPL") == "pallas"
-                and self.project and self.aggr == "mean" and adj.ndim == 2
-                and x.shape[-1] == self.features):
-            from ..ops.pallas.sage import can_fuse, fused_sage
-            if can_fuse(x.shape[0], x.shape[1]):
-                p = self.lin_project.variables["params"]
-                l = self.lin_l.variables["params"]
-                r = self.lin_r.variables["params"]
-                return fused_sage(x, adj, p["kernel"], p["bias"],
-                                  l["kernel"], l["bias"], r["kernel"],
-                                  interpret=jax.default_backend() != "tpu")
+        # x: (B, N, H); adj: (B, N, N) or (N, N) bool in-neighbor mask.
+        # A fused whole-layer Pallas kernel existed here behind
+        # EGOPACK_SAGE_IMPL=pallas; it measured at exact XLA parity at every
+        # batch size (XLA already fuses this into MXU matmuls at roofline)
+        # and was removed — see docs/ARCHITECTURE.md "Pallas ledger".
         msg = nn.relu(self.lin_project(x)) if self.project else x
         agg = self._aggregate(msg, adj)
         return self.lin_l(agg) + self.lin_r(x)

@@ -9,7 +9,7 @@ run() { echo "== $*"; python -m pytest "$@" -q; }
 
 run tests/test_config.py tests/test_data.py tests/test_meters.py \
     tests/test_models.py tests/test_native_io.py tests/test_pallas_knn.py \
-    tests/test_pallas_sage.py tests/test_torch_parity.py \
+    tests/test_torch_parity.py \
     tests/test_validation.py tests/test_precision.py
 run tests/test_train_infra.py tests/test_multihost.py
 run tests/test_reference_parity.py
