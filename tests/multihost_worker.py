@@ -47,7 +47,9 @@ def main() -> None:
     from egopack_tpu.data import graphs as G
 
     cfg = compose(default_config_dir(), "defaults",
-                  overrides=[f"dataset_recognition.root={root}"])
+                  overrides=[f"dataset_recognition.root={root}",
+                             f"dataset_lta.root={root}",
+                             f"dataset_pnr.root={root}"])
     ds = instantiate(cfg.dataset_recognition, split="train")
 
     mesh = pmesh.make_mesh(2 * n_proc, 1)
@@ -57,10 +59,20 @@ def main() -> None:
                                  "_target_": "egopack_tpu.models.pooling.TRNPooling",
                                  "hidden_size": 16, "dropout": 0.0},
                              num_segments=3)
+    from egopack_tpu.models.heads import LTATask, PNRTask
+    ds_lta = instantiate(cfg.dataset_lta, split="val")
     head = RecognitionTask(name_="ar", input_size=hidden, features_size=hidden,
                            heads=ds.num_class_labels)
-    system = MultiTaskSystem(backbone,
-                             {"ar": TaskSetup("ar", head, G.ar_spec(), 1.0)})
+    lta_head = LTATask(name_="lta", input_size=hidden, features_size=hidden,
+                       heads=ds_lta.num_class_labels)
+    pnr_head = PNRTask(name_="pnr", input_size=hidden, features_size=hidden)
+    system = MultiTaskSystem(backbone, {
+        "ar": TaskSetup("ar", head, G.ar_spec(), 1.0),
+        "lta": TaskSetup("lta", lta_head,
+                         ds_lta.graph_spec(k=1.0), 1.0,
+                         append_node=ds_lta.append_node),
+        "pnr": TaskSetup("pnr", pnr_head, G.pnr_spec(16, 1.0), 1.0),
+    })
     params = system.init_params(jax.random.PRNGKey(0), ds.features_size)
     params = pmesh.place_params(params, mesh)
     opt = topt.adam(1e-3, 0.0)
@@ -82,21 +94,50 @@ def main() -> None:
         for l in jax.tree_util.tree_leaves(params)))
 
     # sharded validation: each process meters only its loader block; merged
-    # meter logs must equal the single-process control exactly
+    # meter logs must equal the single-process control exactly. Covers all
+    # three fetch shapes: AR (tuple logits), LTA (tuple logits + sampled
+    # prediction tensors with a K axis), PNR (scalar-logit grid + host-side
+    # localization metadata fields)
     from egopack_tpu.eval.meters import build_meter_for_dataset
-    from egopack_tpu.eval.validate import validate
+    from egopack_tpu.eval.validate import validate, validate_lta, validate_pnr
+    sharded = n_proc > 1
+    put = lambda b: mh.put_batch(b, mesh)  # noqa: E731
+    val_logs = {}
+
+    def scalars(meter):
+        return {k: float(v) for k, v in meter.get_logs().items()
+                if isinstance(v, (int, float, np.floating))}
+
     ds_val = instantiate(cfg.dataset_recognition, split="val")
     val_loader = build_dataloader(ds_val, 8, False, 0, False, seed=7,
                                   process_shard=mh.process_shard())
-    eval_step = system.make_eval_step("ar")
     meter = build_meter_for_dataset(ds_val)
-    sharded = n_proc > 1
-    validate(eval_step, params, None, val_loader, meter, "ar",
-             put=lambda b: mh.put_batch(b, mesh), sharded=sharded)
+    validate(system.make_eval_step("ar"), params, None, val_loader, meter,
+             "ar", put=put, sharded=sharded)
     if sharded:
         mh.merge_meter(meter)
-    val_logs = {k: float(v) for k, v in meter.get_logs().items()
-                if isinstance(v, (int, float, np.floating))}
+    val_logs.update({f"ar/{k}": v for k, v in scalars(meter).items()})
+
+    lta_loader = build_dataloader(ds_lta, 8, False, 0, False, seed=7,
+                                  process_shard=mh.process_shard())
+    meter = build_meter_for_dataset(ds_lta)
+    sample_fn = jax.jit(lta_head.generate_from_logits)
+    validate_lta(system.make_eval_step("lta"), params, None, lta_loader,
+                 meter, sample_fn, jax.random.PRNGKey(5), put=put,
+                 sharded=sharded)
+    if sharded:
+        mh.merge_meter(meter)
+    val_logs.update({f"lta/{k}": v for k, v in scalars(meter).items()})
+
+    ds_pnr = instantiate(cfg.dataset_pnr, split="val")
+    pnr_loader = build_dataloader(ds_pnr, 8, False, 0, False, seed=7,
+                                  process_shard=mh.process_shard())
+    meter = build_meter_for_dataset(ds_pnr)
+    validate_pnr(system.make_eval_step("pnr"), params, None, pnr_loader,
+                 meter, put=put, sharded=sharded)
+    if sharded:
+        mh.merge_meter(meter)
+    val_logs.update({f"pnr/{k}": v for k, v in scalars(meter).items()})
 
     if artifact_dir:
         # regression for the artifact-save deadlock: save_artifact's shard
