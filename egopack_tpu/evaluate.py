@@ -38,6 +38,11 @@ logger = logging.getLogger(__name__)
 
 def evaluate(cfg, output: Optional[str] = None) -> Dict[str, Dict[str, Any]]:
     setup_logging()
+    if bool(cfg.parallel.get("multihost", False)):
+        # same wiring as the trainers: cold eval shards the val set across
+        # processes too (meter states merge in _run_validation)
+        from .parallel import multihost as mh
+        mh.initialize()
     assert cfg.resume_from, "evaluate requires resume_from=<artifact>"
     payload, meta = load_artifact(cfg.artifact_dir, cfg.resume_from)
     phase2, banks, graphone, aux_tasks, late_fusion, extra = unpack_artifact(
@@ -75,9 +80,11 @@ def evaluate(cfg, output: Optional[str] = None) -> Dict[str, Dict[str, Any]]:
     def sample_fn(logits, key):
         return lta_head.generate_from_logits(logits, key)
 
-    run_logger = RunLogger(cfg.output_dir,
-                           f"eval_{cfg.resume_from.split('/')[-1]}",
-                           to_container(cfg))
+    from .utils.logging import NullLogger
+    run_logger = (RunLogger(cfg.output_dir,
+                            f"eval_{cfg.resume_from.split('/')[-1]}",
+                            to_container(cfg))
+                  if jax.process_index() == 0 else NullLogger())
     metrics = drv._run_validation(
         cfg, system, params, banks, dsets, task_weights, 0, run_logger,
         eval_steps, sample_fn, rng,
