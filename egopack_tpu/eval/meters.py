@@ -72,6 +72,22 @@ class BaseMeter:
         return self._loss_sum / max(self._loss_count, 1)
 
     # ---- mergeable accumulator state (sharded multi-host eval) ----
+    # feature arrays ride the cross-process wire only up to the t-SNE
+    # sample budget (feature_embedding subsamples to 2000 points anyway);
+    # without the cap a multihost epoch with log_feature_plots=True would
+    # allgather O(val_set × hidden) bytes per task to every process
+    FEATURE_WIRE_CAP = 2000
+
+    def _capped(self, feats: List[np.ndarray]) -> List[np.ndarray]:
+        out, rows = [], 0
+        for f in feats:
+            if rows >= self.FEATURE_WIRE_CAP:
+                break
+            take = min(len(f), self.FEATURE_WIRE_CAP - rows)
+            out.append(f[:take])
+            rows += take
+        return out
+
     def state(self) -> Dict:
         """Picklable snapshot of the accumulators. With process-sharded
         validation each process meters only its local block of every global
@@ -79,8 +95,8 @@ class BaseMeter:
         process computes the full-set metrics (see multihost.py)."""
         return {"loss_sum": self._loss_sum, "loss_count": self._loss_count,
                 "samples": self._samples,
-                "pre": list(self._pre_features),
-                "post": list(self._post_features)}
+                "pre": self._capped(self._pre_features),
+                "post": self._capped(self._post_features)}
 
     def merge_state(self, st: Dict, include_loss: bool = True) -> None:
         """Fold another meter's ``state()`` into this one. Metrics are

@@ -90,7 +90,9 @@ def evaluate(cfg, output: Optional[str] = None) -> Dict[str, Dict[str, Any]]:
         eval_steps, sample_fn, rng,
         force_all=bool(cfg.get("validate_all_tasks", False)), mesh=mesh)
     run_logger.close()
-    if output:
+    # metrics are identical on every process after the meter merge; only
+    # process 0 writes (N concurrent writers would corrupt a shared path)
+    if output and jax.process_index() == 0:
         with open(output, "w") as f:
             json.dump(metrics, f, indent=2, default=float)
         logger.info("Wrote metrics to %s", output)

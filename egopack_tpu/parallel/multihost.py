@@ -84,12 +84,23 @@ def local_block(arr) -> np.ndarray:
     array. Fully-addressable arrays fetch whole; under multi-host DP each
     process gets the contiguous batch-axis block it contributed via
     ``make_array_from_process_local_data`` — the rows matching its own host
-    batch, in order."""
+    batch, in order. Batch-sharded-but-model-replicated outputs (meshes with
+    ``parallel.model > 1``) present one addressable shard per model column
+    with IDENTICAL batch slices; dedupe by batch-axis start so each row
+    appears exactly once."""
     if getattr(arr, "is_fully_addressable", True):
         return np.asarray(arr)
-    shards = sorted(arr.addressable_shards,
-                    key=lambda s: (s.index[0].start or 0) if s.index else 0)
-    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    uniq = {}
+    for s in arr.addressable_shards:
+        key = tuple((sl.start or 0, sl.stop) for sl in s.index)
+        uniq.setdefault(key, s)
+    tails = {key[1:] for key in uniq}
+    assert len(tails) <= 1, (
+        f"local_block expects outputs sharded on the batch axis only; got "
+        f"shard slices {sorted(uniq)}")
+    order = sorted(uniq)
+    return np.concatenate([np.asarray(uniq[key].data) for key in order],
+                          axis=0)
 
 
 def allgather_bytes(payload: bytes) -> list:
@@ -128,8 +139,10 @@ def merge_meter(meter) -> None:
 def put_batch(batch: Dict[str, Any], mesh: Mesh,
               replicated: bool = False, x_dtype=None) -> Dict[str, Any]:
     """Device placement for one host batch: keep only the array fields the
-    jitted steps consume, then assemble globally (data-sharded for train,
-    replicated for multi-host eval).
+    jitted steps consume, then assemble globally. Both train and eval
+    batches are data-sharded (eval meters merge at epoch end, see
+    merge_meter); ``replicated=True`` remains for callers that need every
+    process to hold the full array.
 
     ``x_dtype`` (e.g. ``ml_dtypes.bfloat16``) casts the feature tensor on the
     HOST before transfer — under bf16 compute the device would cast anyway

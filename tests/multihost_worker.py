@@ -52,7 +52,11 @@ def main() -> None:
                              f"dataset_pnr.root={root}"])
     ds = instantiate(cfg.dataset_recognition, split="train")
 
-    mesh = pmesh.make_mesh(2 * n_proc, 1)
+    # (data=n_proc, model=2): every process owns BOTH model columns of its
+    # data row, so batch-sharded-model-replicated eval outputs present two
+    # identical-batch-slice addressable shards per process — exercising
+    # local_block's dedupe (multihost + megatron TP on the TRN MLP)
+    mesh = pmesh.make_mesh(n_proc, 2)
     hidden = 16
     backbone = TemporalGraph(input_size=ds.features_size, hidden_size=hidden,
                              depth=2, temporal_pooling={
