@@ -65,8 +65,11 @@ def main() -> None:
                              num_segments=3)
     from egopack_tpu.models.heads import LTATask, PNRTask
     ds_lta = instantiate(cfg.dataset_lta, split="val")
+    # aux_tasks gives the AR head its aux classifiers (phase-2 style) for
+    # the graphone-interact eval below; unused by the phase-1 train step
     head = RecognitionTask(name_="ar", input_size=hidden, features_size=hidden,
-                           heads=ds.num_class_labels)
+                           heads=ds.num_class_labels,
+                           aux_tasks=("lta", "pnr"))
     lta_head = LTATask(name_="lta", input_size=hidden, features_size=hidden,
                        heads=ds_lta.num_class_labels)
     pnr_head = PNRTask(name_="pnr", input_size=hidden, features_size=hidden)
@@ -142,6 +145,36 @@ def main() -> None:
     if sharded:
         mh.merge_meter(meter)
     val_logs.update({f"pnr/{k}": v for k, v in scalars(meter).items()})
+
+    # GraphONE interaction over MODEL-AXIS-SHARDED prototype banks (the
+    # long-context analog) under real multi-process TP: sharded AR eval
+    # with aux interaction must also match the single-process control
+    from egopack_tpu.models.graphone import GraphONE, PrototypeBank
+    import jax.numpy as jnp
+    brng = np.random.default_rng(11)
+    banks = {}
+    for t in ("lta", "pnr"):
+        vals = brng.normal(size=(128, hidden)).astype(np.float32)
+        bmask = np.zeros(128, bool)
+        bmask[:37] = True
+        banks[t] = PrototypeBank(jnp.asarray(vals), jnp.asarray(bmask))
+    banks = pmesh.place_banks(banks, mesh)
+    graphone = GraphONE(task_labels=("lta", "pnr"), features_size=hidden,
+                        hidden_size=hidden, k=4, depth=1, residual=True)
+    feats0 = {t: jnp.zeros((4, hidden)) for t in ("lta", "pnr")}
+    params["graphone"] = graphone.init(jax.random.PRNGKey(6), feats0, banks,
+                                       method="interact")["params"]
+    params = pmesh.place_params(params, mesh)
+    ego_loader = build_dataloader(ds_val, 8, False, 0, False, seed=7,
+                                  process_shard=mh.process_shard())
+    meter = build_meter_for_dataset(ds_val)
+    validate(system.make_eval_step("ar", aux=("lta", "pnr"),
+                                   graphone=graphone),
+             params, banks, ego_loader, meter, "ar", put=put,
+             sharded=sharded)
+    if sharded:
+        mh.merge_meter(meter)
+    val_logs.update({f"ego/{k}": v for k, v in scalars(meter).items()})
 
     if artifact_dir:
         # regression for the artifact-save deadlock: save_artifact's shard
