@@ -91,10 +91,16 @@ class GraphLayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, node_mask: Optional[jax.Array] = None) -> jax.Array:
+        import os
         dim = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
         x32 = x.astype(jnp.float32)
+        if os.environ.get("EGOPACK_PROBE_LN_IDENTITY") == "1":
+            # BENCH PROBE ONLY (scripts/bench_ln_probe.py): affine without
+            # the whole-tensor statistics, to bound how much of the step the
+            # LN full reductions cost. Wrong numerics by construction.
+            return (x32 * scale + bias).astype(x.dtype)
         if node_mask is None:
             mean = x32.mean()
             var = ((x32 - mean) ** 2).mean()
