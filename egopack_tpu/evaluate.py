@@ -100,6 +100,8 @@ def evaluate(cfg, output: Optional[str] = None) -> Dict[str, Dict[str, Any]]:
 
 
 def main(argv: Optional[List[str]] = None) -> Dict[str, Dict[str, Any]]:
+    from .utils.platform import apply_env_platform
+    apply_env_platform()
     argv = list(argv if argv is not None else sys.argv[1:])
     output = None
     overrides = []

@@ -230,6 +230,8 @@ PREDICTORS = {"lta": predict_lta, "oscc": predict_oscc, "pnr": predict_pnr}
 
 
 def main(argv: Optional[List[str]] = None) -> None:
+    from .utils.platform import apply_env_platform
+    apply_env_platform()
     argv = list(argv if argv is not None else sys.argv[1:])
     output = None
     task = "lta"

@@ -1,0 +1,31 @@
+"""Honor the ``JAX_PLATFORMS`` environment variable in CLI processes.
+
+This image's sitecustomize force-registers the remote 'axon' TPU plugin, and
+setting ``JAX_PLATFORMS`` in the environment alone does NOT override it — the
+value must be replayed into ``jax.config`` before the first jax use
+(CLAUDE.md environment rules; tests/conftest.py does the same for pytest).
+Without this, CLI subprocesses (sweep children, the verify recipe, multihost
+workers) that ask for ``JAX_PLATFORMS=cpu`` silently run against the
+tunneled TPU, making "hermetic" runs tunnel-speed-dependent.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+logger = logging.getLogger(__name__)
+
+
+def apply_env_platform() -> None:
+    """Replay ``JAX_PLATFORMS`` into jax.config (no-op when unset or when
+    jax backends are already initialized)."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if not plat:
+        return
+    import jax
+    try:
+        jax.config.update("jax_platforms", plat)
+    except Exception:  # backends already committed — leave as-is
+        logger.warning("JAX_PLATFORMS=%s set but jax backends are already "
+                       "initialized; keeping the active platform", plat)

@@ -17,6 +17,8 @@ from egopack_tpu.train.driver import train_mtl
 
 
 def main(argv=None):
+    from egopack_tpu.utils.platform import apply_env_platform
+    apply_env_platform()
     cfg = compose(default_config_dir(), "defaults",
                   overrides=argv if argv is not None else sys.argv[1:])
     return train_mtl(cfg)
