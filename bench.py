@@ -45,6 +45,13 @@ BATCH = 16
 ACTIVE = ("ar", "lta", "pnr")
 WARMUP = 5
 STEPS = 10  # x steps_per_call inner steps
+# smoke-test knobs (default = full size / full windows): BENCH_FEAT_DIM,
+# BENCH_HIDDEN and BENCH_WINDOWS let the harness be validated on CPU in
+# seconds (JAX_PLATFORMS=cpu BENCH_FEAT_DIM=32 BENCH_HIDDEN=32
+# BENCH_WINDOWS=2) without the tunneled chip
+FEAT_DIM = int(os.environ.get("BENCH_FEAT_DIM", "1536"))
+HIDDEN = int(os.environ.get("BENCH_HIDDEN", "1024"))
+WINDOWS = int(os.environ.get("BENCH_WINDOWS", "7"))
 
 
 def _sync(logs):
@@ -60,7 +67,8 @@ def _sync(logs):
     return float(np.asarray(jax.tree_util.tree_leaves(logs)[0]).ravel()[-1])
 
 
-def _timed_windows(run_steps, n_windows: int = 7):
+def _timed_windows(run_steps, n_windows: int = None):
+    n_windows = WINDOWS if n_windows is None else n_windows
     """Median of several timed windows — the dev chip sits behind a shared
     network tunnel whose latency varies run to run."""
     windows = []
@@ -72,11 +80,46 @@ def _timed_windows(run_steps, n_windows: int = 7):
     return sorted(windows)[len(windows) // 2]
 
 
+def _time_step(step, extra, params, opt_state, batch_list, spc, lr):
+    """Shared warmup + timing harness for both phases' multi-steps.
+    ``extra`` holds the step's leading extra args (phase-2 banks)."""
+    rng = jax.random.PRNGKey(1)
+    state = [params, opt_state]
+    for i in range(WARMUP):
+        state[0], state[1], logs = step(state[0], state[1], *extra,
+                                        batch_list,
+                                        jax.random.fold_in(rng, i),
+                                        i * spc, lr)
+    _sync(logs)
+
+    def run_steps(w):
+        for i in range(STEPS):
+            state[0], state[1], logs = step(state[0], state[1], *extra,
+                                            batch_list,
+                                            jax.random.fold_in(rng,
+                                                               w * 1000 + i),
+                                            i * spc, lr)
+        return logs
+
+    return _timed_windows(run_steps)
+
+
+def _report(metric: str, clips: int, elapsed: float, mesh, denominator: float):
+    n_chips = mesh.shape["data"] * mesh.shape["model"]
+    clips_per_sec_per_chip = clips / elapsed / n_chips
+    print(json.dumps({
+        "metric": metric,
+        "value": round(clips_per_sec_per_chip, 1),
+        "unit": "clips/s/chip",
+        "vs_baseline": round(clips_per_sec_per_chip / denominator, 3),
+    }), flush=True)
+
+
 def bench_mtl():
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16" \
         else jnp.float32
-    feat_dim, hidden = 1536, 1024
-    system = ge._build_system(hidden, 1024, feat_dim)
+    feat_dim, hidden = FEAT_DIM, HIDDEN
+    system = ge._build_system(hidden, hidden, feat_dim)
     system.compute_dtype = dtype
     params = system.init_params(jax.random.PRNGKey(0), feat_dim)
 
@@ -107,33 +150,10 @@ def bench_mtl():
 
     batch_list = tuple(make_group(s) for s in range(spc))
 
-    rng = jax.random.PRNGKey(1)
-    state = [params, opt_state]
-    for i in range(WARMUP):
-        state[0], state[1], logs = step(state[0], state[1], batch_list,
-                                        jax.random.fold_in(rng, i), i * spc,
-                                        1e-5)
-    _sync(logs)
-
-    def run_steps(w):
-        for i in range(STEPS):
-            state[0], state[1], logs = step(state[0], state[1], batch_list,
-                                            jax.random.fold_in(rng, w * 1000 + i),
-                                            i * spc, 1e-5)
-        return logs
-
-    elapsed = _timed_windows(run_steps)
-
-    n_chips = mesh.shape["data"] * mesh.shape["model"]
-    clips = STEPS * spc * len(ACTIVE) * BATCH * mesh.shape["data"]
-    clips_per_sec_per_chip = clips / elapsed / n_chips
-    print(json.dumps({
-        "metric": "ego4d_mtl_clips_per_sec_per_chip_fwd_bwd",
-        "value": round(clips_per_sec_per_chip, 1),
-        "unit": "clips/s/chip",
-        "vs_baseline": round(clips_per_sec_per_chip
-                             / REFERENCE_BASELINE_CLIPS_PER_SEC, 3),
-    }), flush=True)
+    elapsed = _time_step(step, (), params, opt_state, batch_list, spc, 1e-5)
+    _report("ego4d_mtl_clips_per_sec_per_chip_fwd_bwd",
+            STEPS * spc * len(ACTIVE) * BATCH * mesh.shape["data"],
+            elapsed, mesh, REFERENCE_BASELINE_CLIPS_PER_SEC)
 
 
 def bench_egopack():
@@ -147,8 +167,9 @@ def bench_egopack():
 
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16" \
         else jnp.float32
-    feat_dim, hidden, p_pad = 1536, 1024, 2048
-    system = ge._build_system(hidden, 1024, feat_dim, phase2=True)
+    feat_dim, hidden = FEAT_DIM, HIDDEN
+    p_pad = 2048 if hidden >= 1024 else 128
+    system = ge._build_system(hidden, hidden, feat_dim, phase2=True)
     system.compute_dtype = dtype
     params = system.init_params(jax.random.PRNGKey(0), feat_dim)
 
@@ -158,7 +179,7 @@ def bench_egopack():
     for t in aux_tasks:
         vals = brng.normal(size=(p_pad, hidden)).astype(np.float32)
         mask = np.zeros(p_pad, bool)
-        mask[:1900] = True  # realistic valid-prototype fill
+        mask[:min(1900, p_pad - 16)] = True  # realistic valid-prototype fill
         banks[t] = PrototypeBank(jnp.asarray(vals), jnp.asarray(mask))
     graphone = GraphONE(task_labels=aux_tasks, features_size=hidden,
                         hidden_size=hidden, k=8, depth=3, residual=False)
@@ -186,36 +207,17 @@ def bench_egopack():
         return {"oscc": pmesh.shard_batch(b["oscc"], mesh)}
 
     batch_list = tuple(make_group(s) for s in range(spc))
-    rng = jax.random.PRNGKey(1)
-    state = [params, opt_state]
-    for i in range(WARMUP):
-        state[0], state[1], logs = step(state[0], state[1], banks, batch_list,
-                                        jax.random.fold_in(rng, i), i * spc,
-                                        1e-6)
-    _sync(logs)
 
-    def run_steps(w):
-        for i in range(STEPS):
-            state[0], state[1], logs = step(state[0], state[1], banks,
-                                            batch_list,
-                                            jax.random.fold_in(rng, w * 1000 + i),
-                                            i * spc, 1e-6)
-        return logs
-
-    elapsed = _timed_windows(run_steps)
-    n_chips = mesh.shape["data"] * mesh.shape["model"]
-    clips = STEPS * spc * BATCH * mesh.shape["data"]
-    clips_per_sec_per_chip = clips / elapsed / n_chips
-    print(json.dumps({
-        "metric": "ego4d_egopack_oscc_clips_per_sec_per_chip_fwd_bwd",
-        "value": round(clips_per_sec_per_chip, 1),
-        "unit": "clips/s/chip",
-        "vs_baseline": round(clips_per_sec_per_chip
-                             / REFERENCE_EGOPACK_BASELINE_CLIPS_PER_SEC, 3),
-    }), flush=True)
+    elapsed = _time_step(step, (banks,), params, opt_state, batch_list, spc,
+                         1e-6)
+    _report("ego4d_egopack_oscc_clips_per_sec_per_chip_fwd_bwd",
+            STEPS * spc * BATCH * mesh.shape["data"],
+            elapsed, mesh, REFERENCE_EGOPACK_BASELINE_CLIPS_PER_SEC)
 
 
 def main():
+    from egopack_tpu.utils.platform import apply_env_platform
+    apply_env_platform()
     bench_mtl()
     if os.environ.get("BENCH_SKIP_EGOPACK") != "1":
         bench_egopack()

@@ -72,6 +72,9 @@ class BaseMeter:
         return self._loss_sum / max(self._loss_count, 1)
 
     # ---- mergeable accumulator state (sharded multi-host eval) ----
+    # names of per-update list accumulators (subclasses declare theirs);
+    # the base state/merge machinery handles them generically
+    _STATE_LISTS: tuple = ()
     # feature arrays ride the cross-process wire only up to the t-SNE
     # sample budget (feature_embedding subsamples to 2000 points anyway);
     # without the cap a multihost epoch with log_feature_plots=True would
@@ -93,10 +96,13 @@ class BaseMeter:
         validation each process meters only its local block of every global
         batch; states are allgathered and merged at epoch end so every
         process computes the full-set metrics (see multihost.py)."""
-        return {"loss_sum": self._loss_sum, "loss_count": self._loss_count,
-                "samples": self._samples,
-                "pre": self._capped(self._pre_features),
-                "post": self._capped(self._post_features)}
+        st = {"loss_sum": self._loss_sum, "loss_count": self._loss_count,
+              "samples": self._samples,
+              "pre": self._capped(self._pre_features),
+              "post": self._capped(self._post_features)}
+        for name in self._STATE_LISTS:
+            st[name] = list(getattr(self, name))
+        return st
 
     def merge_state(self, st: Dict, include_loss: bool = True) -> None:
         """Fold another meter's ``state()`` into this one. Metrics are
@@ -112,6 +118,8 @@ class BaseMeter:
         self._samples += st["samples"]
         self._pre_features.extend(st["pre"])
         self._post_features.extend(st["post"])
+        for name in self._STATE_LISTS:
+            getattr(self, name).extend(st[name])
 
     def print_logs(self) -> List[str]:
         return [f"Loss: {self.loss:.4f}"]
@@ -146,19 +154,8 @@ class Ego4dRecognitionMeter(BaseMeter):
         self._noun_labels.append(labels[:, 1])
         self.update_loss(loss, len(labels))
 
-    def state(self) -> Dict:
-        return {**super().state(),
-                "verb_logits": list(self._verb_logits),
-                "verb_labels": list(self._verb_labels),
-                "noun_logits": list(self._noun_logits),
-                "noun_labels": list(self._noun_labels)}
-
-    def merge_state(self, st: Dict, include_loss: bool = True) -> None:
-        super().merge_state(st, include_loss)
-        self._verb_logits.extend(st["verb_logits"])
-        self._verb_labels.extend(st["verb_labels"])
-        self._noun_logits.extend(st["noun_logits"])
-        self._noun_labels.extend(st["noun_labels"])
+    _STATE_LISTS = ("_verb_logits", "_verb_labels",
+                    "_noun_logits", "_noun_labels")
 
     def _compute(self, which: str) -> Dict[str, float]:
         if which == "verbs":
@@ -247,14 +244,7 @@ class Ego4dOSCCMeter(BaseMeter):
         self._labels.append(np.asarray(labels))
         self.update_loss(loss, len(np.asarray(labels)))
 
-    def state(self) -> Dict:
-        return {**super().state(), "logits": list(self._logits),
-                "labels": list(self._labels)}
-
-    def merge_state(self, st: Dict, include_loss: bool = True) -> None:
-        super().merge_state(st, include_loss)
-        self._logits.extend(st["logits"])
-        self._labels.extend(st["labels"])
+    _STATE_LISTS = ("_logits", "_labels")
 
     @property
     def accuracy(self) -> float:
@@ -296,16 +286,7 @@ class Ego4dPNRMeter(BaseMeter):
                 gt = pf - sf
                 self.loc_errors.append(abs(pred_mapped - gt) / 30.0)
 
-    def state(self) -> Dict:
-        return {**super().state(), "probs": list(self._probs),
-                "labels": list(self._labels),
-                "loc_errors": list(self.loc_errors)}
-
-    def merge_state(self, st: Dict, include_loss: bool = True) -> None:
-        super().merge_state(st, include_loss)
-        self._probs.extend(st["probs"])
-        self._labels.extend(st["labels"])
-        self.loc_errors.extend(st["loc_errors"])
+    _STATE_LISTS = ("_probs", "_labels", "loc_errors")
 
     def _logs(self) -> Dict[str, float]:
         probs = np.concatenate(self._probs)
@@ -331,6 +312,9 @@ class Ego4dPNRMeter(BaseMeter):
 class Ego4dLTAMeter(BaseMeter):
     """Best-of-K edit distance over the 20 forecast steps + node top-1
     (/root/reference/utils/meters/ego4d.py:392-453)."""
+
+    _STATE_LISTS = ("_ed_verbs", "_ed_nouns", "_v_logits", "_v_labels",
+                    "_n_logits", "_n_labels")
 
     def __init__(self, dataset, num_nodes: int = 22, num_input: int = 2, **kw):
         super().__init__(**kw)
@@ -358,24 +342,6 @@ class Ego4dLTAMeter(BaseMeter):
         self._ed_nouns.extend(M.sequence_edit_distance(pn[:, ni:], ln[:, ni:]))
         self.update_loss(loss, labels.shape[0])
 
-    def state(self) -> Dict:
-        return {**super().state(),
-                "ed_verbs": list(self._ed_verbs),
-                "ed_nouns": list(self._ed_nouns),
-                "v_logits": list(self._v_logits),
-                "v_labels": list(self._v_labels),
-                "n_logits": list(self._n_logits),
-                "n_labels": list(self._n_labels)}
-
-    def merge_state(self, st: Dict, include_loss: bool = True) -> None:
-        super().merge_state(st, include_loss)
-        self._ed_verbs.extend(st["ed_verbs"])
-        self._ed_nouns.extend(st["ed_nouns"])
-        self._v_logits.extend(st["v_logits"])
-        self._v_labels.extend(st["v_labels"])
-        self._n_logits.extend(st["n_logits"])
-        self._n_labels.extend(st["n_labels"])
-
     def _logs(self) -> Dict[str, float]:
         return {
             "verbs_ed": float(np.mean(self._ed_verbs)) if self._ed_verbs else 0.0,
@@ -400,6 +366,8 @@ class Ego4dAnticipationMeter(BaseMeter):
     """Verb/noun top-k accuracy + mean-class recall
     (/root/reference/utils/meters/ego4d.py:206-297)."""
 
+    _STATE_LISTS = ("_v_logits", "_v_labels", "_n_logits", "_n_labels")
+
     def __init__(self, dataset, **kw):
         super().__init__(**kw)
         self._v_logits, self._v_labels = [], []
@@ -412,20 +380,6 @@ class Ego4dAnticipationMeter(BaseMeter):
         self._v_logits.append(vl[vm]); self._v_labels.append(labels[vm, 0])
         self._n_logits.append(nl[nm]); self._n_labels.append(labels[nm, 1])
         self.update_loss(loss, labels.shape[0])
-
-    def state(self) -> Dict:
-        return {**super().state(),
-                "v_logits": list(self._v_logits),
-                "v_labels": list(self._v_labels),
-                "n_logits": list(self._n_logits),
-                "n_labels": list(self._n_labels)}
-
-    def merge_state(self, st: Dict, include_loss: bool = True) -> None:
-        super().merge_state(st, include_loss)
-        self._v_logits.extend(st["v_logits"])
-        self._v_labels.extend(st["v_labels"])
-        self._n_logits.extend(st["n_logits"])
-        self._n_labels.extend(st["n_labels"])
 
     def _logs(self) -> Dict[str, float]:
         vl, vt = np.concatenate(self._v_logits), np.concatenate(self._v_labels)

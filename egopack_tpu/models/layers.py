@@ -10,6 +10,7 @@ onto the MXU — no scatter/gather message passing exists on the device path
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import flax.linen as nn
@@ -91,7 +92,6 @@ class GraphLayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, node_mask: Optional[jax.Array] = None) -> jax.Array:
-        import os
         dim = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)

@@ -27,6 +27,7 @@ the bandwidth.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -45,10 +46,8 @@ _LANES = 128
 # BASELINE.md), so EGOPACK_FUSED_ADAM_MIN_SIZE=1048576 restricts Pallas to
 # the two big-leaf shape classes (95% of optimizer bytes) to fit compile
 # windows; direct-attached TPUs compile in seconds and can keep the default.
-import os as _os
-
-_MIN_PALLAS_SIZE = int(_os.environ.get("EGOPACK_FUSED_ADAM_MIN_SIZE",
-                                       16 * 1024))
+_MIN_PALLAS_SIZE = int(os.environ.get("EGOPACK_FUSED_ADAM_MIN_SIZE",
+                                      16 * 1024))
 
 
 def _adam_math(p, g, m, v, lr, bc1, bc2, *, wd, b1, b2, eps, m_dtype):
