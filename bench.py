@@ -196,7 +196,11 @@ def bench_egopack():
                           moments_dtype=os.environ.get("BENCH_MOMENTS_DTYPE",
                                                        "float32"))
     opt_state = topt.init_opt_state(optimizer, params, mesh)
-    spc = int(os.environ.get("BENCH_STEPS_PER_CALL", "4"))
+    # spc=8 default: the phase-2 step moves only 16 clips per optimizer step
+    # (vs the MTL line's 48), so dispatch amortization weighs 3x heavier —
+    # measured 1.25x over spc=4 (scripts/bench_egopack_spc.py, interleaved
+    # same-process A/B; numerics identical for any spc, tested)
+    spc = int(os.environ.get("BENCH_STEPS_PER_CALL", "8"))
     step = system.make_egopack_train_step_multi(
         optimizer, ("oscc",), graphone, spc, backprop_temporal_graph=True,
         temporal_graph_train_mode=False, late_fusion=True)

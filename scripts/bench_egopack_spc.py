@@ -1,0 +1,133 @@
+#!/usr/bin/env python3
+"""A/B the EgoPack phase-2 step's dispatch/optimizer levers in ONE process.
+
+The phase-2 line (bench.py line 2: novel OSCC, 3 banks P=2048, depth 3,
+backprop backbone) moves only 16 clips per optimizer step — a third of the
+MTL line's 48 — so the fixed per-step costs (Adam HBM traffic over the same
+~30M params, dispatch latency) weigh 3x heavier per clip. Arms:
+
+- spc4            production default (BENCH_STEPS_PER_CALL=4)
+- spc8            deeper multi-step dispatch (amortizes tunnel latency)
+- spc8_bf16       + optimizer.moments_dtype=bfloat16 (halved moment traffic;
+                  opt-in, off the torch-parity table — see BASELINE.md)
+
+Interleaved timed windows, true fetch-sync (jax.block_until_ready returns at
+ENQUEUE on this image's remote platform — BASELINE.md "ROUND-2 CORRECTION").
+"""
+
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __graft_entry__ as ge  # noqa: E402
+from egopack_tpu.parallel import mesh as pmesh  # noqa: E402
+from egopack_tpu.train import optim as topt  # noqa: E402
+
+BATCH = 16
+STEPS = 8  # outer dispatches per timed window (x spc inner steps)
+WINDOWS = 5
+FEAT_DIM = int(os.environ.get("BENCH_FEAT_DIM", "1536"))
+HIDDEN = int(os.environ.get("BENCH_HIDDEN", "1024"))
+
+ARMS = {
+    "spc4": {"spc": 4, "moments_dtype": "float32"},
+    "spc8": {"spc": 8, "moments_dtype": "float32"},
+    "spc8_bf16": {"spc": 8, "moments_dtype": "bfloat16"},
+}
+
+
+def build(spc: int, moments_dtype: str):
+    import jax.numpy as jnp
+
+    from egopack_tpu.models.graphone import GraphONE, PrototypeBank
+    from egopack_tpu.train.driver import CKPT_KEYS, trainable_mask_fn
+
+    feat_dim, hidden = FEAT_DIM, HIDDEN
+    p_pad = 2048 if hidden >= 1024 else 128
+    system = ge._build_system(hidden, hidden, feat_dim, phase2=True)
+    system.compute_dtype = jnp.bfloat16
+    params = system.init_params(jax.random.PRNGKey(0), feat_dim)
+
+    aux_tasks = ("ar", "lta", "pnr")
+    brng = np.random.default_rng(3)
+    banks = {}
+    for t in aux_tasks:
+        vals = brng.normal(size=(p_pad, hidden)).astype(np.float32)
+        mask = np.zeros(p_pad, bool)
+        mask[:min(1900, p_pad - 16)] = True
+        banks[t] = PrototypeBank(jnp.asarray(vals), jnp.asarray(mask))
+    graphone = GraphONE(task_labels=aux_tasks, features_size=hidden,
+                        hidden_size=hidden, k=8, depth=3, residual=False)
+    feats0 = {t: jnp.zeros((4, hidden)) for t in aux_tasks}
+    params["graphone"] = graphone.init(jax.random.PRNGKey(2), feats0, banks,
+                                       method="interact")["params"]
+
+    mesh = pmesh.make_mesh(len(jax.devices()), 1)
+    params = pmesh.place_params(params, mesh)
+    banks = pmesh.place_banks(banks, mesh)
+    mask = trainable_mask_fn(["temporal_graph", CKPT_KEYS["oscc"],
+                              "graphone"])
+    optimizer = topt.adam(1e-6, 1e-5, trainable_mask=mask,
+                          moments_dtype=moments_dtype)
+    opt_state = topt.init_opt_state(optimizer, params, mesh)
+    step = system.make_egopack_train_step_multi(
+        optimizer, ("oscc",), graphone, spc, backprop_temporal_graph=True,
+        temporal_graph_train_mode=False, late_fusion=True)
+
+    b = ge._synthetic_batches(system, BATCH * mesh.shape["data"], feat_dim,
+                              seed=0)
+    group = {"oscc": pmesh.shard_batch(b["oscc"], mesh)}
+    batch_list = tuple(group for _ in range(spc))
+    return step, params, opt_state, banks, batch_list, spc
+
+
+def sync(logs):
+    return float(np.asarray(jax.tree_util.tree_leaves(logs)[0]).ravel()[-1])
+
+
+def main():
+    from egopack_tpu.utils.platform import apply_env_platform
+    apply_env_platform()
+    sel = os.environ.get("BENCH_ARMS")
+    arm_defs = ({k: ARMS[k] for k in sel.split(",")} if sel else ARMS)
+    arms = {}
+    for name, kw in arm_defs.items():
+        t0 = time.time()
+        step, params, opt_state, banks, batch_list, spc = build(**kw)
+        rng = jax.random.PRNGKey(1)
+        for i in range(3):  # warmup/compile
+            params, opt_state, logs = step(params, opt_state, banks,
+                                           batch_list,
+                                           jax.random.fold_in(rng, i),
+                                           i * spc, 1e-6)
+        sync(logs)
+        print(f"[{name}] built+warm in {time.time() - t0:.1f}s", flush=True)
+        arms[name] = [step, params, opt_state, banks, batch_list, spc, rng]
+
+    times = {name: [] for name in arms}
+    for w in range(WINDOWS):
+        for name, arm in arms.items():  # interleave arms per window
+            step, params, opt_state, banks, batch_list, spc, rng = arm
+            t0 = time.perf_counter()
+            for i in range(STEPS):
+                params, opt_state, logs = step(
+                    params, opt_state, banks, batch_list,
+                    jax.random.fold_in(rng, w * 1000 + i), i * spc, 1e-6)
+            sync(logs)
+            times[name].append((time.perf_counter() - t0) / (STEPS * spc))
+            arm[1], arm[2] = params, opt_state
+
+    out = {name: sorted(ts)[len(ts) // 2] * 1e3 for name, ts in times.items()}
+    base = next(iter(out))
+    print({"ms_per_step": {k: round(v, 4) for k, v in out.items()},
+           f"speedup_vs_{base}": {k: round(out[base] / out[k], 4)
+                                  for k in out}})
+
+
+if __name__ == "__main__":
+    main()
