@@ -3,6 +3,7 @@
 This is the hermetic equivalent of running the reference's two mains — the
 test the reference never had (SURVEY.md §4)."""
 
+import os
 import os.path as osp
 
 import numpy as np
@@ -318,3 +319,32 @@ def test_predict_lta_from_egopack_artifact(mtl_run):
     assert len(preds) > 0
     first = next(iter(preds.values()))
     assert len(first["verb"]) == 5 and len(first["verb"][0]) == 20
+
+
+def test_bench_emits_two_parseable_json_lines():
+    """bench.py is the driver's headline artifact (BENCH_r{N}.json parses
+    line 1; line 2 is the EgoPack step) — guard both lines' schema with the
+    CPU smoke knobs."""
+    import json
+    import subprocess
+    import sys
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_FEAT_DIM="32",
+               BENCH_HIDDEN="32", BENCH_WINDOWS="2")
+    # the conftest exports an 8-virtual-device XLA_FLAGS; bench on ONE
+    # device keeps this smoke fast (mesh-size behavior is tested elsewhere)
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "host_platform_device_count" not in f)
+    ret = subprocess.run([sys.executable, "bench.py"], cwd="/root/repo",
+                         capture_output=True, text=True, timeout=500,
+                         env=env)
+    assert ret.returncode == 0, ret.stderr[-2000:]
+    lines = [l for l in ret.stdout.splitlines() if l.startswith("{")]
+    assert len(lines) == 2, ret.stdout
+    mtl, ego = (json.loads(l) for l in lines)
+    assert mtl["metric"] == "ego4d_mtl_clips_per_sec_per_chip_fwd_bwd"
+    assert ego["metric"] == "ego4d_egopack_oscc_clips_per_sec_per_chip_fwd_bwd"
+    for line in (mtl, ego):
+        assert line["unit"] == "clips/s/chip"
+        assert line["value"] > 0 and line["vs_baseline"] > 0
