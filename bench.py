@@ -156,10 +156,12 @@ def bench_mtl():
             elapsed, mesh, REFERENCE_BASELINE_CLIPS_PER_SEC)
 
 
-def bench_egopack():
-    """Phase-2 hot loop: novel-OSCC EgoPack step (3 model-axis-shardable
-    prototype banks P=2048, graphone depth 3 / k=8 — configs/defaults.yaml
-    graphone block, backprop backbone) at full model size (SURVEY §3.3)."""
+def build_egopack_step(spc: int, moments_dtype: str = "float32",
+                       feat_dim: int = None, hidden: int = None):
+    """Phase-2 hot-loop harness (novel-OSCC EgoPack step, 3 model-axis-
+    shardable prototype banks P=2048, graphone depth 3 / k=8 —
+    configs/defaults.yaml graphone block, backprop backbone, SURVEY §3.3).
+    Shared by the bench line below and scripts/bench_egopack_spc.py."""
     import numpy as np
 
     from egopack_tpu.models.graphone import GraphONE, PrototypeBank
@@ -167,7 +169,8 @@ def bench_egopack():
 
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16" \
         else jnp.float32
-    feat_dim, hidden = FEAT_DIM, HIDDEN
+    feat_dim = FEAT_DIM if feat_dim is None else feat_dim
+    hidden = HIDDEN if hidden is None else hidden
     p_pad = 2048 if hidden >= 1024 else 128
     system = ge._build_system(hidden, hidden, feat_dim, phase2=True)
     system.compute_dtype = dtype
@@ -193,14 +196,8 @@ def bench_egopack():
     mask = trainable_mask_fn(["temporal_graph", CKPT_KEYS["oscc"],
                               "graphone"])
     optimizer = topt.adam(1e-6, 1e-5, trainable_mask=mask,
-                          moments_dtype=os.environ.get("BENCH_MOMENTS_DTYPE",
-                                                       "float32"))
+                          moments_dtype=moments_dtype)
     opt_state = topt.init_opt_state(optimizer, params, mesh)
-    # spc=8 default: the phase-2 step moves only 16 clips per optimizer step
-    # (vs the MTL line's 48), so dispatch amortization weighs 3x heavier —
-    # measured 1.25x over spc=4 (scripts/bench_egopack_spc.py, interleaved
-    # same-process A/B; numerics identical for any spc, tested)
-    spc = int(os.environ.get("BENCH_STEPS_PER_CALL", "8"))
     step = system.make_egopack_train_step_multi(
         optimizer, ("oscc",), graphone, spc, backprop_temporal_graph=True,
         temporal_graph_train_mode=False, late_fusion=True)
@@ -211,7 +208,17 @@ def bench_egopack():
         return {"oscc": pmesh.shard_batch(b["oscc"], mesh)}
 
     batch_list = tuple(make_group(s) for s in range(spc))
+    return step, params, opt_state, banks, batch_list, mesh
 
+
+def bench_egopack():
+    # spc=8 default: the phase-2 step moves only 16 clips per optimizer step
+    # (vs the MTL line's 48), so dispatch amortization weighs 3x heavier —
+    # measured 1.25x over spc=4 (scripts/bench_egopack_spc.py, interleaved
+    # same-process A/B; numerics identical for any spc, tested)
+    spc = int(os.environ.get("BENCH_STEPS_PER_CALL", "8"))
+    step, params, opt_state, banks, batch_list, mesh = build_egopack_step(
+        spc, os.environ.get("BENCH_MOMENTS_DTYPE", "float32"))
     elapsed = _time_step(step, (banks,), params, opt_state, batch_list, spc,
                          1e-6)
     _report("ego4d_egopack_oscc_clips_per_sec_per_chip_fwd_bwd",

@@ -24,15 +24,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import __graft_entry__ as ge  # noqa: E402
-from egopack_tpu.parallel import mesh as pmesh  # noqa: E402
-from egopack_tpu.train import optim as topt  # noqa: E402
+import bench  # noqa: E402  (repo-root bench.py — the shared harness)
 
-BATCH = 16
 STEPS = 8  # outer dispatches per timed window (x spc inner steps)
 WINDOWS = 5
-FEAT_DIM = int(os.environ.get("BENCH_FEAT_DIM", "1536"))
-HIDDEN = int(os.environ.get("BENCH_HIDDEN", "1024"))
 
 ARMS = {
     "spc4": {"spc": 4, "moments_dtype": "float32"},
@@ -42,47 +37,8 @@ ARMS = {
 
 
 def build(spc: int, moments_dtype: str):
-    import jax.numpy as jnp
-
-    from egopack_tpu.models.graphone import GraphONE, PrototypeBank
-    from egopack_tpu.train.driver import CKPT_KEYS, trainable_mask_fn
-
-    feat_dim, hidden = FEAT_DIM, HIDDEN
-    p_pad = 2048 if hidden >= 1024 else 128
-    system = ge._build_system(hidden, hidden, feat_dim, phase2=True)
-    system.compute_dtype = jnp.bfloat16
-    params = system.init_params(jax.random.PRNGKey(0), feat_dim)
-
-    aux_tasks = ("ar", "lta", "pnr")
-    brng = np.random.default_rng(3)
-    banks = {}
-    for t in aux_tasks:
-        vals = brng.normal(size=(p_pad, hidden)).astype(np.float32)
-        mask = np.zeros(p_pad, bool)
-        mask[:min(1900, p_pad - 16)] = True
-        banks[t] = PrototypeBank(jnp.asarray(vals), jnp.asarray(mask))
-    graphone = GraphONE(task_labels=aux_tasks, features_size=hidden,
-                        hidden_size=hidden, k=8, depth=3, residual=False)
-    feats0 = {t: jnp.zeros((4, hidden)) for t in aux_tasks}
-    params["graphone"] = graphone.init(jax.random.PRNGKey(2), feats0, banks,
-                                       method="interact")["params"]
-
-    mesh = pmesh.make_mesh(len(jax.devices()), 1)
-    params = pmesh.place_params(params, mesh)
-    banks = pmesh.place_banks(banks, mesh)
-    mask = trainable_mask_fn(["temporal_graph", CKPT_KEYS["oscc"],
-                              "graphone"])
-    optimizer = topt.adam(1e-6, 1e-5, trainable_mask=mask,
-                          moments_dtype=moments_dtype)
-    opt_state = topt.init_opt_state(optimizer, params, mesh)
-    step = system.make_egopack_train_step_multi(
-        optimizer, ("oscc",), graphone, spc, backprop_temporal_graph=True,
-        temporal_graph_train_mode=False, late_fusion=True)
-
-    b = ge._synthetic_batches(system, BATCH * mesh.shape["data"], feat_dim,
-                              seed=0)
-    group = {"oscc": pmesh.shard_batch(b["oscc"], mesh)}
-    batch_list = tuple(group for _ in range(spc))
+    step, params, opt_state, banks, batch_list, _mesh = \
+        bench.build_egopack_step(spc, moments_dtype)
     return step, params, opt_state, banks, batch_list, spc
 
 
