@@ -212,11 +212,12 @@ def build_egopack_step(spc: int, moments_dtype: str = "float32",
 
 
 def bench_egopack():
-    # spc=8 default: the phase-2 step moves only 16 clips per optimizer step
+    # spc=16 default: the phase-2 step moves only 16 clips per optimizer step
     # (vs the MTL line's 48), so dispatch amortization weighs 3x heavier —
-    # measured 1.25x over spc=4 (scripts/bench_egopack_spc.py, interleaved
-    # same-process A/B; numerics identical for any spc, tested)
-    spc = int(os.environ.get("BENCH_STEPS_PER_CALL", "8"))
+    # measured 1.25x (spc8 over spc4) then a further 1.083x (spc16 over spc8)
+    # in scripts/bench_egopack_spc.py interleaved same-process A/Bs; numerics
+    # identical for any spc, tested
+    spc = int(os.environ.get("BENCH_STEPS_PER_CALL", "16"))
     step, params, opt_state, banks, batch_list, mesh = build_egopack_step(
         spc, os.environ.get("BENCH_MOMENTS_DTYPE", "float32"))
     elapsed = _time_step(step, (banks,), params, opt_state, batch_list, spc,

@@ -6,10 +6,12 @@ backprop backbone) moves only 16 clips per optimizer step — a third of the
 MTL line's 48 — so the fixed per-step costs (Adam HBM traffic over the same
 ~30M params, dispatch latency) weigh 3x heavier per clip. Arms:
 
-- spc4            production default (BENCH_STEPS_PER_CALL=4)
-- spc8            deeper multi-step dispatch (amortizes tunnel latency)
+- spc4            the original bench default (BENCH_STEPS_PER_CALL=4)
+- spc8            deeper multi-step dispatch (measured 1.25x over spc4)
 - spc8_bf16       + optimizer.moments_dtype=bfloat16 (halved moment traffic;
                   opt-in, off the torch-parity table — see BASELINE.md)
+- spc16           deeper still (measured 1.083x over spc8 — now the bench
+                  line-2 default)
 
 Interleaved timed windows, true fetch-sync (jax.block_until_ready returns at
 ENQUEUE on this image's remote platform — BASELINE.md "ROUND-2 CORRECTION").
@@ -33,6 +35,7 @@ ARMS = {
     "spc4": {"spc": 4, "moments_dtype": "float32"},
     "spc8": {"spc": 8, "moments_dtype": "float32"},
     "spc8_bf16": {"spc": 8, "moments_dtype": "bfloat16"},
+    "spc16": {"spc": 16, "moments_dtype": "float32"},
 }
 
 
