@@ -115,10 +115,15 @@ def _report(metric: str, clips: int, elapsed: float, mesh, denominator: float):
     }), flush=True)
 
 
-def bench_mtl():
+def build_mtl_step(spc: int, moments_dtype: str = "float32",
+                   feat_dim: int = None, hidden: int = None):
+    """Line-1 harness (fused AR+LTA+PNR step at the experiments/mtl.yaml
+    configuration). Shared by the bench line below and
+    scripts/bench_mtl_spc.py."""
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16" \
         else jnp.float32
-    feat_dim, hidden = FEAT_DIM, HIDDEN
+    feat_dim = FEAT_DIM if feat_dim is None else feat_dim
+    hidden = HIDDEN if hidden is None else hidden
     system = ge._build_system(hidden, hidden, feat_dim)
     system.compute_dtype = dtype
     params = system.init_params(jax.random.PRNGKey(0), feat_dim)
@@ -131,15 +136,9 @@ def bench_mtl():
     from egopack_tpu.train.driver import CKPT_KEYS, trainable_mask_fn
     mask = trainable_mask_fn(["temporal_graph"]
                              + [CKPT_KEYS[t] for t in ACTIVE])
-    # BENCH_MOMENTS_DTYPE=bfloat16 measures the opt-in Adam HBM lever
-    # (optimizer.moments_dtype config); float32 = reference-parity numerics
-    optimizer = topt.adam(
-        1e-5, 1e-5, trainable_mask=mask,
-        moments_dtype=os.environ.get("BENCH_MOMENTS_DTYPE", "float32"))
+    optimizer = topt.adam(1e-5, 1e-5, trainable_mask=mask,
+                          moments_dtype=moments_dtype)
     opt_state = topt.init_opt_state(optimizer, params, mesh)
-    # production dispatch config: steps_per_call optimizer steps fused into
-    # one device call (per-step rng keys identical to separate dispatches)
-    spc = int(os.environ.get("BENCH_STEPS_PER_CALL", "8"))
     step = system.make_train_step_multi(optimizer, ACTIVE, spc)
 
     def make_group(seed):
@@ -149,6 +148,17 @@ def bench_mtl():
                 if n in ACTIVE}
 
     batch_list = tuple(make_group(s) for s in range(spc))
+    return step, params, opt_state, batch_list, mesh
+
+
+def bench_mtl():
+    # production dispatch config: steps_per_call optimizer steps fused into
+    # one device call (per-step rng keys identical to separate dispatches)
+    spc = int(os.environ.get("BENCH_STEPS_PER_CALL", "8"))
+    # BENCH_MOMENTS_DTYPE=bfloat16 measures the opt-in Adam HBM lever
+    # (optimizer.moments_dtype config); float32 = reference-parity numerics
+    step, params, opt_state, batch_list, mesh = build_mtl_step(
+        spc, os.environ.get("BENCH_MOMENTS_DTYPE", "float32"))
 
     elapsed = _time_step(step, (), params, opt_state, batch_list, spc, 1e-5)
     _report("ego4d_mtl_clips_per_sec_per_chip_fwd_bwd",
