@@ -104,6 +104,48 @@ def _time_step(step, extra, params, opt_state, batch_list, spc, lr):
     return _timed_windows(run_steps)
 
 
+def run_interleaved_arms(arms, steps: int = 8, windows: int = 5):
+    """Shared interleaved same-process A/B harness (scripts/bench_*_spc.py,
+    scripts/bench_moments_dtype.py). Tunnel latency varies hour-to-hour, so
+    arms are interleaved per timed window and synced by a host fetch (_sync —
+    the load-bearing ROUND-2 CORRECTION lives in ONE place).
+
+    ``arms``: {name: {step, params, opt_state, extra, batch_list, spc, lr}}
+    where ``extra`` is the tuple of leading extra step args (phase-2 banks).
+    Warmup/compiles each arm (3 calls), runs ``windows`` interleaved windows
+    of ``steps`` dispatches, prints and returns {name: median ms/step}."""
+    rng = jax.random.PRNGKey(1)
+
+    def advance(a, key, i):
+        a["params"], a["opt_state"], logs = a["step"](
+            a["params"], a["opt_state"], *a["extra"], a["batch_list"],
+            key, i * a["spc"], a["lr"])
+        return logs
+
+    for name, a in arms.items():
+        t0 = time.time()
+        for i in range(3):  # warmup/compile
+            logs = advance(a, jax.random.fold_in(rng, i), i)
+        _sync(logs)
+        print(f"[{name}] built+warm in {time.time() - t0:.1f}s", flush=True)
+
+    times = {name: [] for name in arms}
+    for w in range(windows):
+        for name, a in arms.items():  # interleave arms per window
+            t0 = time.perf_counter()
+            for i in range(steps):
+                logs = advance(a, jax.random.fold_in(rng, w * 1000 + i), i)
+            _sync(logs)
+            times[name].append((time.perf_counter() - t0) / (steps * a["spc"]))
+
+    out = {name: sorted(ts)[len(ts) // 2] * 1e3 for name, ts in times.items()}
+    base = next(iter(out))
+    print({"ms_per_step": {k: round(v, 4) for k, v in out.items()},
+           f"speedup_vs_{base}": {k: round(out[base] / out[k], 4)
+                                  for k in out}})
+    return out
+
+
 def _report(metric: str, clips: int, elapsed: float, mesh, denominator: float):
     n_chips = mesh.shape["data"] * mesh.shape["model"]
     clips_per_sec_per_chip = clips / elapsed / n_chips
@@ -115,15 +157,13 @@ def _report(metric: str, clips: int, elapsed: float, mesh, denominator: float):
     }), flush=True)
 
 
-def build_mtl_step(spc: int, moments_dtype: str = "float32",
-                   feat_dim: int = None, hidden: int = None):
+def build_mtl_step(spc: int, moments_dtype: str = "float32"):
     """Line-1 harness (fused AR+LTA+PNR step at the experiments/mtl.yaml
-    configuration). Shared by the bench line below and
-    scripts/bench_mtl_spc.py."""
+    configuration; sized by the BENCH_FEAT_DIM/BENCH_HIDDEN smoke knobs).
+    Shared by the bench line below and scripts/bench_mtl_spc.py."""
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16" \
         else jnp.float32
-    feat_dim = FEAT_DIM if feat_dim is None else feat_dim
-    hidden = HIDDEN if hidden is None else hidden
+    feat_dim, hidden = FEAT_DIM, HIDDEN
     system = ge._build_system(hidden, hidden, feat_dim)
     system.compute_dtype = dtype
     params = system.init_params(jax.random.PRNGKey(0), feat_dim)
@@ -153,8 +193,11 @@ def build_mtl_step(spc: int, moments_dtype: str = "float32",
 
 def bench_mtl():
     # production dispatch config: steps_per_call optimizer steps fused into
-    # one device call (per-step rng keys identical to separate dispatches)
-    spc = int(os.environ.get("BENCH_STEPS_PER_CALL", "8"))
+    # one device call (per-step rng keys identical to separate dispatches).
+    # spc=16 default: measured 1.117x over spc8 same-process
+    # (scripts/bench_mtl_spc.py); spc=32 adds a further 1.085x but costs
+    # ~7 min of fresh compile through this image's tunnel — opt in via env
+    spc = int(os.environ.get("BENCH_STEPS_PER_CALL", "16"))
     # BENCH_MOMENTS_DTYPE=bfloat16 measures the opt-in Adam HBM lever
     # (optimizer.moments_dtype config); float32 = reference-parity numerics
     step, params, opt_state, batch_list, mesh = build_mtl_step(
@@ -166,11 +209,11 @@ def bench_mtl():
             elapsed, mesh, REFERENCE_BASELINE_CLIPS_PER_SEC)
 
 
-def build_egopack_step(spc: int, moments_dtype: str = "float32",
-                       feat_dim: int = None, hidden: int = None):
+def build_egopack_step(spc: int, moments_dtype: str = "float32"):
     """Phase-2 hot-loop harness (novel-OSCC EgoPack step, 3 model-axis-
     shardable prototype banks P=2048, graphone depth 3 / k=8 —
-    configs/defaults.yaml graphone block, backprop backbone, SURVEY §3.3).
+    configs/defaults.yaml graphone block, backprop backbone, SURVEY §3.3;
+    sized by the BENCH_FEAT_DIM/BENCH_HIDDEN smoke knobs).
     Shared by the bench line below and scripts/bench_egopack_spc.py."""
     import numpy as np
 
@@ -179,8 +222,7 @@ def build_egopack_step(spc: int, moments_dtype: str = "float32",
 
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16" \
         else jnp.float32
-    feat_dim = FEAT_DIM if feat_dim is None else feat_dim
-    hidden = HIDDEN if hidden is None else hidden
+    feat_dim, hidden = FEAT_DIM, HIDDEN
     p_pad = 2048 if hidden >= 1024 else 128
     system = ge._build_system(hidden, hidden, feat_dim, phase2=True)
     system.compute_dtype = dtype
@@ -240,6 +282,14 @@ def bench_egopack():
 def main():
     from egopack_tpu.utils.platform import apply_env_platform
     apply_env_platform()
+    # persistent XLA compile cache (repo-local, gitignored): first-compile
+    # of the deep multi-step programs costs minutes through this image's
+    # tunnel; a warm cache cuts it to seconds. Env var wins if set.
+    if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
     bench_mtl()
     if os.environ.get("BENCH_SKIP_EGOPACK") != "1":
         bench_egopack()

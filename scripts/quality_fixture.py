@@ -16,7 +16,9 @@ PNR AUROC 0.50, LTA ED ~0.83. Not paper numbers (no real Ego4D in-image) —
 this pins end-to-end learning across every task head + the prototype
 interaction, seed-robustly. BASELINE.md records the pinned output.
 
-Runs on CPU by default (JAX_PLATFORMS honored); ~15 min on one host core.
+Runs on CPU by default (~15 min on one host core); set JAX_PLATFORMS to
+override — per-batch eval through this image's tunneled TPU would round-trip
+the network for every batch (CLAUDE.md environment rules).
 """
 
 import json
@@ -77,11 +79,11 @@ def run_seed(root, tmp, seed):
     import jax
     lta_head = system.tasks["lta"].head
     meter = build_meter_for_dataset(dsets["lta"]["val"])
+    sample_fn = jax.jit(  # as in the driver (train/driver.py validate wiring)
+        lambda logits, key: lta_head.generate_from_logits(logits, key))
     validate_lta(system.make_eval_step("lta"), params, {},
                  build_dataloader(dsets["lta"]["val"], 8, False, 0, False),
-                 meter,
-                 lambda logits, key: lta_head.generate_from_logits(logits, key),
-                 jax.random.PRNGKey(seed))
+                 meter, sample_fn, jax.random.PRNGKey(seed))
     logs = meter.get_logs()
     out["lta_verbs_ed"], out["lta_nouns_ed"] = (logs["verbs_ed"],
                                                 logs["nouns_ed"])
@@ -107,6 +109,10 @@ def run_seed(root, tmp, seed):
 
 
 def main():
+    # CPU by default (docstring promise): without this, sitecustomize's
+    # remote-TPU registration wins when JAX_PLATFORMS is unset and every
+    # per-batch eval op round-trips the tunnel
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
     from egopack_tpu.utils.platform import apply_env_platform
     apply_env_platform()
     import tempfile

@@ -13,6 +13,8 @@ import main_egopack
 import main_temporal
 from egopack_tpu.config import compose, default_config_dir
 
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
 
 def _mtl_overrides(root, tmp, extra=()):
     return [
@@ -158,7 +160,7 @@ def test_sweep_runner_executes_subprocess(ego4d_root, tmp_path):
     extra = [o for o in extra if not o.startswith("num_epochs")]
     ret = subprocess.run(
         [sys.executable, "-m", "egopack_tpu.sweep", str(yml), *extra],
-        cwd="/root/repo", capture_output=True, text=True, timeout=400)
+        cwd=REPO, capture_output=True, text=True, timeout=400)
     assert ret.returncode == 0, ret.stderr[-2000:]
 
 
@@ -330,13 +332,19 @@ def test_bench_emits_two_parseable_json_lines():
     import sys
 
     env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_FEAT_DIM="32",
-               BENCH_HIDDEN="32", BENCH_WINDOWS="2")
+               BENCH_HIDDEN="32", BENCH_WINDOWS="2",
+               # pin the remaining knobs for hermeticity (an ambient
+               # BENCH_SKIP_EGOPACK=1 would drop line 2; a deep ambient
+               # BENCH_STEPS_PER_CALL would blow the compile budget)
+               BENCH_STEPS_PER_CALL="4", BENCH_DTYPE="bfloat16",
+               BENCH_MOMENTS_DTYPE="float32")
+    env.pop("BENCH_SKIP_EGOPACK", None)
     # the conftest exports an 8-virtual-device XLA_FLAGS; bench on ONE
     # device keeps this smoke fast (mesh-size behavior is tested elsewhere)
     env["XLA_FLAGS"] = " ".join(
         f for f in env.get("XLA_FLAGS", "").split()
         if "host_platform_device_count" not in f)
-    ret = subprocess.run([sys.executable, "bench.py"], cwd="/root/repo",
+    ret = subprocess.run([sys.executable, "bench.py"], cwd=REPO,
                          capture_output=True, text=True, timeout=500,
                          env=env)
     assert ret.returncode == 0, ret.stderr[-2000:]
