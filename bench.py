@@ -68,9 +68,9 @@ def _sync(logs):
 
 
 def _timed_windows(run_steps, n_windows: int = None):
-    n_windows = WINDOWS if n_windows is None else n_windows
     """Median of several timed windows — the dev chip sits behind a shared
     network tunnel whose latency varies run to run."""
+    n_windows = WINDOWS if n_windows is None else n_windows
     windows = []
     for w in range(n_windows):
         t0 = time.perf_counter()
@@ -279,17 +279,22 @@ def bench_egopack():
             elapsed, mesh, REFERENCE_EGOPACK_BASELINE_CLIPS_PER_SEC)
 
 
-def main():
-    from egopack_tpu.utils.platform import apply_env_platform
-    apply_env_platform()
-    # persistent XLA compile cache (repo-local, gitignored): first-compile
-    # of the deep multi-step programs costs minutes through this image's
-    # tunnel; a warm cache cuts it to seconds. Env var wins if set.
+def setup_compilation_cache():
+    """Persistent XLA compile cache (repo-local, gitignored): first-compile
+    of the deep multi-step programs costs minutes through this image's
+    tunnel; a warm cache cuts it to seconds. Env var wins if set. Shared by
+    main() and the scripts/bench_*.py probes."""
     if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
         cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".jax_cache")
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
+
+
+def main():
+    from egopack_tpu.utils.platform import apply_env_platform
+    apply_env_platform()
+    setup_compilation_cache()
     bench_mtl()
     if os.environ.get("BENCH_SKIP_EGOPACK") != "1":
         bench_egopack()

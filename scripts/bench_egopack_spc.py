@@ -12,6 +12,8 @@ MTL line's 48 — so the fixed per-step costs (Adam HBM traffic over the same
                   opt-in, off the torch-parity table — see BASELINE.md)
 - spc16           deeper still (measured 1.083x over spc8 — now the bench
                   line-2 default)
+- spc32           deeper still (line 1's spc32 measured 1.085x over its
+                  spc16; this arm answers the same question for line 2)
 
 Timing methodology (interleaved windows, true fetch-sync — the ROUND-2
 CORRECTION) lives in bench.run_interleaved_arms.
@@ -29,12 +31,14 @@ ARMS = {
     "spc8": {"spc": 8, "moments_dtype": "float32"},
     "spc8_bf16": {"spc": 8, "moments_dtype": "bfloat16"},
     "spc16": {"spc": 16, "moments_dtype": "float32"},
+    "spc32": {"spc": 32, "moments_dtype": "float32"},
 }
 
 
 def main():
     from egopack_tpu.utils.platform import apply_env_platform
     apply_env_platform()
+    bench.setup_compilation_cache()
     sel = os.environ.get("BENCH_ARMS")
     arms = {}
     for name in (sel.split(",") if sel else ARMS):

@@ -56,6 +56,8 @@ def sync(logs):
 
 
 def main():
+    from egopack_tpu.utils.platform import apply_env_platform
+    apply_env_platform()
     arms = {}
     for name, env in (("baseline", "0"), ("ln_identity", "1")):
         os.environ["EGOPACK_PROBE_LN_IDENTITY"] = env  # read at trace time

@@ -70,6 +70,9 @@ def build(moments_dtype: str, log_norms: bool, impl: str = "optax"):
 
 
 def main():
+    from egopack_tpu.utils.platform import apply_env_platform
+    apply_env_platform()
+    bench.setup_compilation_cache()
     # BENCH_ARMS=baseline,no_norms selects a subset (4 compiles through the
     # dev tunnel exceed practical command timeouts)
     sel = os.environ.get("BENCH_ARMS")

@@ -29,6 +29,7 @@ ARM_SPCS = {"spc8": 8, "spc16": 16, "spc32": 32}
 def main():
     from egopack_tpu.utils.platform import apply_env_platform
     apply_env_platform()
+    bench.setup_compilation_cache()
     arms = {}
     for name in os.environ.get("BENCH_ARMS", "spc8,spc16").split(","):
         spc = ARM_SPCS[name]
