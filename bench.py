@@ -104,16 +104,20 @@ def _time_step(step, extra, params, opt_state, batch_list, spc, lr):
     return _timed_windows(run_steps)
 
 
-def run_interleaved_arms(arms, steps: int = 8, windows: int = 5):
+def run_interleaved_arms(arms, steps: int = 8, windows: int = None):
     """Shared interleaved same-process A/B harness (scripts/bench_*_spc.py,
     scripts/bench_moments_dtype.py). Tunnel latency varies hour-to-hour, so
     arms are interleaved per timed window and synced by a host fetch (_sync —
     the load-bearing ROUND-2 CORRECTION lives in ONE place).
+    ``windows`` defaults to 5, or BENCH_WINDOWS when set (the CPU smoke knob).
 
     ``arms``: {name: {step, params, opt_state, extra, batch_list, spc, lr}}
     where ``extra`` is the tuple of leading extra step args (phase-2 banks).
     Warmup/compiles each arm (3 calls), runs ``windows`` interleaved windows
     of ``steps`` dispatches, prints and returns {name: median ms/step}."""
+    if windows is None:
+        windows = (int(os.environ["BENCH_WINDOWS"])
+                   if "BENCH_WINDOWS" in os.environ else 5)
     rng = jax.random.PRNGKey(1)
 
     def advance(a, key, i):

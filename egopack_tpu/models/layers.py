@@ -10,7 +10,6 @@ onto the MXU — no scatter/gather message passing exists on the device path
 from __future__ import annotations
 
 import math
-import os
 from typing import Optional
 
 import flax.linen as nn
@@ -96,11 +95,6 @@ class GraphLayerNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
         x32 = x.astype(jnp.float32)
-        if os.environ.get("EGOPACK_PROBE_LN_IDENTITY") == "1":
-            # BENCH PROBE ONLY (scripts/bench_ln_probe.py): affine without
-            # the whole-tensor statistics, to bound how much of the step the
-            # LN full reductions cost. Wrong numerics by construction.
-            return (x32 * scale + bias).astype(x.dtype)
         if node_mask is None:
             mean = x32.mean()
             var = ((x32 - mean) ** 2).mean()

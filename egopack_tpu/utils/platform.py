@@ -18,14 +18,17 @@ logger = logging.getLogger(__name__)
 
 
 def apply_env_platform() -> None:
-    """Replay ``JAX_PLATFORMS`` into jax.config (no-op when unset or when
-    jax backends are already initialized)."""
+    """Replay ``JAX_PLATFORMS`` into jax.config (no-op when unset; warns when
+    jax backends are already initialized, because ``config.update`` then
+    succeeds silently while the cached backends keep the old platform)."""
     plat = os.environ.get("JAX_PLATFORMS")
     if not plat:
         return
     import jax
-    try:
-        jax.config.update("jax_platforms", plat)
-    except Exception:  # backends already committed — leave as-is
+    from jax._src import xla_bridge
+
+    if xla_bridge.backends_are_initialized():
         logger.warning("JAX_PLATFORMS=%s set but jax backends are already "
                        "initialized; keeping the active platform", plat)
+        return
+    jax.config.update("jax_platforms", plat)

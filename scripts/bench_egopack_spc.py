@@ -39,9 +39,12 @@ def main():
     from egopack_tpu.utils.platform import apply_env_platform
     apply_env_platform()
     bench.setup_compilation_cache()
-    sel = os.environ.get("BENCH_ARMS")
+    # default to a 2-arm subset: each fresh full-size compile costs minutes
+    # through this image's tunnel, and >2 of them exceed a command window
+    # (same reason as bench_mtl_spc / bench_moments_dtype)
+    sel = os.environ.get("BENCH_ARMS", "spc8,spc16")
     arms = {}
-    for name in (sel.split(",") if sel else ARMS):
+    for name in sel.split(","):
         kw = ARMS[name]
         step, params, opt_state, banks, batch_list, _mesh = \
             bench.build_egopack_step(kw["spc"], kw["moments_dtype"])

@@ -4,92 +4,75 @@
 The reference's LayerNorm normalizes over the ENTIRE node tensor (whole-
 tensor scalar mean/std — load-bearing parity quirk, PARITY.md), which is a
 full-reduction sync point per layer per task branch. This probe interleaves
-the production step against a WRONG-NUMERICS variant that replaces the
-statistics with an affine-only pass (EGOPACK_PROBE_LN_IDENTITY=1), bounding
-the maximum win any LN-statistics optimization (e.g. fusing the per-task
-reductions into one segmented pass) could deliver.
+the production MTL step against a WRONG-NUMERICS variant whose LayerNorm is
+affine-only (no statistics), bounding the maximum win any LN-statistics
+optimization (e.g. fusing the per-task reductions into one segmented pass)
+could deliver. Measured round 3: 0.995x — the statistics are free; the
+wrong-numerics variant lives only here, swapped in while the probe arm
+traces, never in egopack_tpu model code.
+
+Timing methodology (interleaved same-process windows, true fetch-sync)
+lives in bench.run_interleaved_arms; the step builder is bench.build_mtl_step.
 """
 
 import os
 import sys
 import time
 
-import numpy as np
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import flax.linen as nn  # noqa: E402
 import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
-import __graft_entry__ as ge  # noqa: E402
-from egopack_tpu.parallel import mesh as pmesh  # noqa: E402
-from egopack_tpu.train import optim as topt  # noqa: E402
+import bench  # noqa: E402  (repo-root bench.py — the shared harness)
+from egopack_tpu.models import backbone as _backbone  # noqa: E402
+from egopack_tpu.models.layers import GraphLayerNorm  # noqa: E402
 
-BATCH = 16
-ACTIVE = ("ar", "lta", "pnr")
 SPC = 8
-STEPS = 10
-WINDOWS = 5
 
 
-def build():
-    import jax.numpy as jnp
-    feat_dim, hidden = 1536, 1024
-    system = ge._build_system(hidden, 1024, feat_dim)
-    system.compute_dtype = jnp.bfloat16
-    params = system.init_params(jax.random.PRNGKey(0), feat_dim)
-    mesh = pmesh.make_mesh(len(jax.devices()), 1)
-    params = pmesh.place_params(params, mesh)
-    from egopack_tpu.train.driver import CKPT_KEYS, trainable_mask_fn
-    mask = trainable_mask_fn(["temporal_graph"]
-                             + [CKPT_KEYS[t] for t in ACTIVE])
-    optimizer = topt.adam(1e-5, 1e-5, trainable_mask=mask)
-    opt_state = topt.init_opt_state(optimizer, params, mesh)
-    step = system.make_train_step_multi(optimizer, ACTIVE, SPC)
-    b = ge._synthetic_batches(system, BATCH * mesh.shape["data"], 1536, seed=0)
-    batches = {n: pmesh.shard_batch(v, mesh) for n, v in b.items()
-               if n in ACTIVE}
-    return step, params, opt_state, tuple(batches for _ in range(SPC))
+class AffineOnlyLN(GraphLayerNorm):
+    """GraphLayerNorm minus the whole-tensor statistics (same params, wrong
+    numerics by construction) — the probe's upper-bound arm."""
+
+    @nn.compact
+    def __call__(self, x, node_mask=None):
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        return (x.astype(jnp.float32) * scale + bias).astype(x.dtype)
 
 
-def sync(logs):
-    return float(np.asarray(jax.tree_util.tree_leaves(logs)[0]).ravel()[-1])
+def build_and_warm(name):
+    """Build + trace one arm (3 warmup calls force the jit trace while the
+    LN class swap is in place; the compiled executable then sticks to the
+    arm's step closure)."""
+    t0 = time.time()
+    step, params, opt_state, batch_list, _mesh = bench.build_mtl_step(SPC)
+    rng = jax.random.PRNGKey(1)
+    for i in range(3):
+        params, opt_state, logs = step(params, opt_state, batch_list,
+                                       jax.random.fold_in(rng, i),
+                                       i * SPC, 1e-5)
+    bench._sync(logs)
+    print(f"[{name}] built+warm in {time.time() - t0:.1f}s", flush=True)
+    return {"step": step, "params": params, "opt_state": opt_state,
+            "extra": (), "batch_list": batch_list, "spc": SPC, "lr": 1e-5}
 
 
 def main():
     from egopack_tpu.utils.platform import apply_env_platform
     apply_env_platform()
-    arms = {}
-    for name, env in (("baseline", "0"), ("ln_identity", "1")):
-        os.environ["EGOPACK_PROBE_LN_IDENTITY"] = env  # read at trace time
-        t0 = time.time()
-        step, params, opt_state, batch_list = build()
-        rng = jax.random.PRNGKey(1)
-        for i in range(3):
-            params, opt_state, logs = step(params, opt_state, batch_list,
-                                           jax.random.fold_in(rng, i),
-                                           i * SPC, 1e-5)
-        sync(logs)
-        print(f"[{name}] ready in {time.time() - t0:.1f}s", flush=True)
-        arms[name] = [step, params, opt_state, batch_list, rng]
+    bench.setup_compilation_cache()
 
-    times = {name: [] for name in arms}
-    for w in range(WINDOWS):
-        for name, arm in arms.items():
-            step, params, opt_state, batch_list, rng = arm
-            t0 = time.perf_counter()
-            for i in range(STEPS):
-                params, opt_state, logs = step(
-                    params, opt_state, batch_list,
-                    jax.random.fold_in(rng, w * 1000 + i), i * SPC, 1e-5)
-            sync(logs)
-            times[name].append(time.perf_counter() - t0)
-            arm[1], arm[2] = params, opt_state
-
-    out = {name: sorted(ts)[len(ts) // 2] / (STEPS * SPC) * 1e3
-           for name, ts in times.items()}
-    print({"ms_per_step": {k: round(v, 4) for k, v in out.items()},
-           "ln_stats_cost_bound": round(
-               out["baseline"] / out["ln_identity"], 4)}, flush=True)
+    arms = {"baseline": build_and_warm("baseline")}
+    _backbone.GraphLayerNorm = AffineOnlyLN  # trace-time swap, probe arm only
+    try:
+        arms["ln_identity"] = build_and_warm("ln_identity")
+    finally:
+        _backbone.GraphLayerNorm = GraphLayerNorm
+    bench.run_interleaved_arms(arms)
 
 
 if __name__ == "__main__":
