@@ -185,10 +185,14 @@ def build_mtl_step(spc: int, moments_dtype: str = "float32"):
     opt_state = topt.init_opt_state(optimizer, params, mesh)
     step = system.make_train_step_multi(optimizer, ACTIVE, spc)
 
+    # batches are generated ON DEVICE (one jit, reused per group): shipping
+    # spc host-built groups (~5 MB each) through the tunneled chip's host
+    # link costs minutes in degraded windows
+    gen = ge.make_device_batch_gen(system, BATCH * mesh.shape["data"],
+                                   feat_dim)
+
     def make_group(seed):
-        b = ge._synthetic_batches(system, BATCH * mesh.shape["data"], feat_dim,
-                                  seed=seed)
-        return {n: pmesh.shard_batch(v, mesh) for n, v in b.items()
+        return {n: pmesh.shard_batch(v, mesh) for n, v in gen(seed).items()
                 if n in ACTIVE}
 
     batch_list = tuple(make_group(s) for s in range(spc))
@@ -219,8 +223,6 @@ def build_egopack_step(spc: int, moments_dtype: str = "float32"):
     configs/defaults.yaml graphone block, backprop backbone, SURVEY §3.3;
     sized by the BENCH_FEAT_DIM/BENCH_HIDDEN smoke knobs).
     Shared by the bench line below and scripts/bench_egopack_spc.py."""
-    import numpy as np
-
     from egopack_tpu.models.graphone import GraphONE, PrototypeBank
     from egopack_tpu.train.driver import CKPT_KEYS, trainable_mask_fn
 
@@ -233,13 +235,15 @@ def build_egopack_step(spc: int, moments_dtype: str = "float32"):
     params = system.init_params(jax.random.PRNGKey(0), feat_dim)
 
     aux_tasks = ("ar", "lta", "pnr")
-    brng = np.random.default_rng(3)
+    bkey = jax.random.PRNGKey(3)
+    fill = min(1900, p_pad - 16)  # realistic valid-prototype fill
     banks = {}
-    for t in aux_tasks:
-        vals = brng.normal(size=(p_pad, hidden)).astype(np.float32)
-        mask = np.zeros(p_pad, bool)
-        mask[:min(1900, p_pad - 16)] = True  # realistic valid-prototype fill
-        banks[t] = PrototypeBank(jnp.asarray(vals), jnp.asarray(mask))
+    for i, t in enumerate(aux_tasks):
+        # device-generated (eager jnp runs on-device): 3 full-size banks are
+        # ~24 MB the host link doesn't need to carry
+        vals = jax.random.normal(jax.random.fold_in(bkey, i),
+                                 (p_pad, hidden), jnp.float32)
+        banks[t] = PrototypeBank(vals, jnp.arange(p_pad) < fill)
     graphone = GraphONE(task_labels=aux_tasks, features_size=hidden,
                         hidden_size=hidden, k=8, depth=3, residual=False)
     feats0 = {t: jnp.zeros((4, hidden)) for t in aux_tasks}
@@ -258,10 +262,12 @@ def build_egopack_step(spc: int, moments_dtype: str = "float32"):
         optimizer, ("oscc",), graphone, spc, backprop_temporal_graph=True,
         temporal_graph_train_mode=False, late_fusion=True)
 
+    # on-device batch generation, as in build_mtl_step
+    gen = ge.make_device_batch_gen(system, BATCH * mesh.shape["data"],
+                                   feat_dim)
+
     def make_group(seed):
-        b = ge._synthetic_batches(system, BATCH * mesh.shape["data"], feat_dim,
-                                  seed=seed)
-        return {"oscc": pmesh.shard_batch(b["oscc"], mesh)}
+        return {"oscc": pmesh.shard_batch(gen(seed)["oscc"], mesh)}
 
     batch_list = tuple(make_group(s) for s in range(spc))
     return step, params, opt_state, banks, batch_list, mesh
