@@ -356,3 +356,34 @@ def test_bench_emits_two_parseable_json_lines():
     for line in (mtl, ego):
         assert line["unit"] == "clips/s/chip"
         assert line["value"] > 0 and line["vs_baseline"] > 0
+
+
+def test_device_batch_gen_matches_host_generator_contract():
+    """bench.py's on-device batch generator must stay a drop-in twin of
+    __graft_entry__._synthetic_batches: identical tree shapes/dtypes (the
+    jitted step executables key on them — a drift silently invalidates the
+    compile cache AND the measured config) and the same label semantics."""
+    import jax
+    import jax.tree_util as tu
+    import numpy as np
+
+    import __graft_entry__ as ge
+
+    system = ge._build_system(32, 32, 32)
+    host = ge._synthetic_batches(system, 8, 32, seed=0)
+    dev = ge.make_device_batch_gen(system, 8, 32)(0)
+    hs = tu.tree_map(lambda a: (a.shape, str(a.dtype)), host)
+    ds = tu.tree_map(lambda a: (a.shape, str(a.dtype)), dev)
+    assert hs == ds
+
+    y = np.asarray(dev["lta"]["y"])
+    assert (y[:, 2:, 0] > 0).all()          # strict y>0 LTA verb quirk
+    assert (y[:, :2] == -1).all()           # input clips carry no labels
+    assert (np.asarray(dev["pnr"]["y"]).sum(axis=1) == 1).all()  # one-hot
+    ar = np.asarray(dev["ar"]["y"])
+    center = ar[:, ar.shape[1] // 2]
+    assert (center >= 0).all()              # center node labeled
+    mask = np.ones(ar.shape[1], bool)
+    mask[ar.shape[1] // 2] = False
+    assert (ar[:, mask] == -1).all()        # all other nodes ignored
+    assert set(np.unique(np.asarray(dev["oscc"]["y"]))) <= {0, 1}
