@@ -9,12 +9,10 @@ Linear, global_max_pool, and radius_graph.
 
 from __future__ import annotations
 
-import math
 from types import SimpleNamespace
 from typing import Optional
 
 import torch
-import torch.nn.functional as F
 
 
 class SAGEConv(torch.nn.Module):

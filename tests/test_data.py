@@ -2,7 +2,6 @@
 collation and multiloader semantics."""
 
 import numpy as np
-import pytest
 
 from egopack_tpu.data import (Ego4dLTADataset, Ego4dOSCCDataset,
                               Ego4dPNRDataset, Ego4dRecognitionDataset,

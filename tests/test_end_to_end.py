@@ -11,7 +11,6 @@ import pytest
 
 import main_egopack
 import main_temporal
-from egopack_tpu.config import compose, default_config_dir
 
 REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
 

@@ -2,7 +2,6 @@
 MTL pipeline must beat chance by a wide margin within a few epochs — the
 strongest hermetic evidence the rebuilt system optimizes correctly."""
 
-import numpy as np
 import pytest
 
 import main_temporal
@@ -85,7 +84,6 @@ def test_two_phase_egopack_learns_novel_task(learnable_root, tmp_path):
     from egopack_tpu.eval.validate import validate
 
     ds = dsets["oscc"]["val"]
-    from egopack_tpu.train.driver import PHASE2_AUX
     aux = tuple(t for t in ("ar", "lta", "pnr"))
     step = system.make_eval_step("oscc", aux=aux, graphone=res["graphone"],
                                  late_fusion=True)

@@ -19,7 +19,6 @@ import os
 import sys
 
 import numpy as np
-import pytest
 import torch
 
 import jax
