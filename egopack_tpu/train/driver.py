@@ -263,6 +263,25 @@ def _emit_plots(cfg, run_logger, meter, name: str, epoch: int) -> None:
             logger.info("Wrote t-SNE feature embeddings to %s", path)
 
 
+def _emit_histograms(run_logger, hists, epoch: int) -> None:
+    """Write the per-parameter gradient/weight histograms
+    (system.make_histogram_fn) as one NPZ per snapshot: two arrays per
+    parameter, ``<grad_hist|param_hist>/<path>:counts`` (bins,) and
+    ``...:edges`` (bins+1,). The file-artifact analog of
+    ``wandb.watch(model, log="all")``'s per-parameter histogram panels
+    (/root/reference/main_temporal.py:262)."""
+    import os.path as osp
+    if isinstance(run_logger, NullLogger):
+        return
+    arrays = {}
+    for key, (counts, edges) in hists.items():
+        arrays[f"{key}:counts"] = np.asarray(counts)
+        arrays[f"{key}:edges"] = np.asarray(edges)
+    path = osp.join(run_logger.dir, f"histograms_ep{epoch}.npz")
+    np.savez(path, **arrays)
+    logger.info("Wrote %d histograms to %s", len(hists), path)
+
+
 def _maybe_resume(cfg, ckpt_dir, params, opt_state, rng, mesh):
     """Mid-run resume: restore the newest full-state checkpoint if present.
 
@@ -292,7 +311,7 @@ def _maybe_resume(cfg, ckpt_dir, params, opt_state, rng, mesh):
 def _run_epochs(cfg, *, system, params, opt_state, banks, dsets, task_weights,
                 active, step_fn, multi_fn, lr_fn, rng, run_logger, eval_steps,
                 sample_fn, ckpt_dir, mesh, start_epoch, should_validate,
-                force_all=False):
+                force_all=False, hist_fn=None):
     """The shared epoch loop of both training phases (main_temporal.py:300-404,
     main_egopack.py:316-448): multiloader epochs, steps_per_call batching +
     tail flush, loss/norm accumulation, profiler trace, checkpoint cadence,
@@ -304,6 +323,7 @@ def _run_epochs(cfg, *, system, params, opt_state, banks, dsets, task_weights,
     profiling = bool(cfg.profile_dir)
     x_dtype = _transfer_dtype(system)
     step_extra = () if banks is None else (banks,)
+    hist_every = int(cfg.get("log_histograms_every", 0)) if hist_fn else 0
     val_metrics: Dict[str, Any] = {}
     for epoch in range(start_epoch, cfg.num_epochs + 1):
         t0 = time.time()
@@ -329,7 +349,10 @@ def _run_epochs(cfg, *, system, params, opt_state, banks, dsets, task_weights,
 
         pending = []
         trace_on = False
+        first_batches = None  # reused for the epoch's histogram snapshot
         for batches in device_prefetch(iter(ml), put):
+            if first_batches is None:
+                first_batches = batches
             if profiling and not trace_on and n_steps >= 1:  # skip compile
                 jax.profiler.start_trace(cfg.profile_dir)
                 trace_on = True
@@ -382,6 +405,13 @@ def _run_epochs(cfg, *, system, params, opt_state, banks, dsets, task_weights,
                            for t, v in epoch_losses.items()},
                         **{f"train/{k}": v for k, v in epoch_norms.items()}},
                        step=epoch)
+
+        if hist_every and epoch % hist_every == 0 and first_batches is not None:
+            # per-parameter grad/weight distribution snapshot on the epoch's
+            # first batch group — wandb.watch(log="all") parity, epoch cadence
+            hists = hist_fn(params, *step_extra, first_batches,
+                            jax.random.fold_in(epoch_key, 0))
+            _emit_histograms(run_logger, hists, epoch)
 
         if cfg.checkpoint.enable and epoch % cfg.checkpoint.every == 0:
             save_state(ckpt_dir, epoch,
@@ -461,7 +491,9 @@ def train_mtl(cfg) -> Dict[str, Any]:
         run_logger=run_logger, eval_steps=eval_steps, sample_fn=sample_fn,
         ckpt_dir=ckpt_dir, mesh=mesh, start_epoch=start_epoch,
         # validate only in the last 5 epochs (main_temporal.py:342-343)
-        should_validate=lambda epoch: epoch >= (cfg.num_epochs - 5))
+        should_validate=lambda epoch: epoch >= (cfg.num_epochs - 5),
+        hist_fn=(system.make_histogram_fn(active)
+                 if int(cfg.get("log_histograms_every", 0)) > 0 else None))
 
     wait_for_saves()
     result = {"params": params, "system": system, "dsets": dsets,
@@ -601,7 +633,13 @@ def train_egopack(cfg) -> Dict[str, Any]:
         ckpt_dir=ckpt_dir, mesh=mesh, start_epoch=start_epoch,
         # phase 2 validates every epoch (main_egopack.py:407-447)
         should_validate=lambda epoch: True,
-        force_all=cfg.validate_all_tasks)
+        force_all=cfg.validate_all_tasks,
+        hist_fn=(system.make_histogram_fn(
+            active, graphone=graphone,
+            backprop_temporal_graph=cfg.backprop_temporal_graph,
+            temporal_graph_train_mode=cfg.temporal_graph_train_mode,
+            late_fusion=cfg.late_fusion)
+            if int(cfg.get("log_histograms_every", 0)) > 0 else None))
 
     wait_for_saves()
     result = {"params": params, "banks": banks, "system": system,

@@ -97,6 +97,24 @@ def _subtree_norms(tree, prefix: str) -> Dict[str, jax.Array]:
     return out
 
 
+def _leaf_path_name(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                    for k in path)
+
+
+def _tree_histograms(tree, prefix: str, bins: int) -> Dict[str, tuple]:
+    """Per-parameter value histograms (counts + bin edges), computed on
+    device — the FULL ``wandb.watch(model, log="all")`` analog
+    (/root/reference/main_temporal.py:262, main_egopack.py:309-314):
+    per-parameter weight/gradient distributions, where ``_subtree_norms`` is
+    the cheap always-on scalar tier. The transfer is tiny (2·bins+1 floats
+    per leaf), so these snapshots are cheap to take at epoch cadence."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    return {f"{prefix}/{_leaf_path_name(p)}":
+            jnp.histogram(leaf.astype(jnp.float32).ravel(), bins=bins)
+            for p, leaf in flat}
+
+
 def _phase1_task_loss(name: str, logits, y) -> jax.Array:
     """Per-element phase-1 criteria (/root/reference/main_temporal.py:281-298):
     AR/LTA: plain CE(ignore −1) summed over verb+noun heads; OSCC: plain CE;
@@ -375,6 +393,37 @@ class MultiTaskSystem:
             return params, opt_state, logs
 
         return multi_step
+
+    def make_histogram_fn(self, active: Tuple[str, ...], graphone=None,
+                          bins: int = 64, **phase2_kw):
+        """Jitted observability snapshot: recompute gradients on ONE batch
+        group and return per-parameter histograms of gradients AND weights —
+        the complete ``wandb.watch(model, log="all")`` analog (see
+        ``_tree_histograms``). Runs OUTSIDE the train step at a configured
+        epoch cadence (``log_histograms_every``), so the hot loop carries no
+        histogram cost. Phase-1 signature ``(params, batches, rng)`` when
+        ``graphone`` is None; phase-2 ``(params, banks, batches, rng)``
+        otherwise (``phase2_kw`` forwards to ``make_egopack_loss_fn``)."""
+        if graphone is None:
+            loss_fn = self._make_phase1_loss_fn(active)
+
+            @jax.jit
+            def hist_fn(params, batches, rng):
+                grads = jax.grad(loss_fn, has_aux=True)(params, batches,
+                                                        rng)[0]
+                return {**_tree_histograms(grads, "grad_hist", bins),
+                        **_tree_histograms(params, "param_hist", bins)}
+        else:
+            loss_fn = self.make_egopack_loss_fn(active, graphone, **phase2_kw)
+
+            @jax.jit
+            def hist_fn(params, banks, batches, rng):
+                grads = jax.grad(loss_fn, has_aux=True)(params, banks,
+                                                        batches, rng)[0]
+                return {**_tree_histograms(grads, "grad_hist", bins),
+                        **_tree_histograms(params, "param_hist", bins)}
+
+        return hist_fn
 
     # ---------------- eval forward (phase 1 & 2) ----------------
     def make_eval_step(self, name: str, aux: Tuple[str, ...] = (),

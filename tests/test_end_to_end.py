@@ -72,9 +72,14 @@ def test_egopack_phase_on_novel_oscc(mtl_run):
         "task_head_dropout=0.5", "num_epochs=1", "optimizer.lr=1e-6",
         "backprop_temporal_graph=True", "temporal_graph_train_mode=True",
         "validate_all_tasks=False", "save_model=False",
-        f"profile_dir={profile}",
+        f"profile_dir={profile}", "log_histograms_every=1",
     ]))
     assert "banks" in result
+    # phase-2 histogram snapshots: the graphone subtree must be covered too
+    hists = glob.glob(osp.join(result["run_dir"], "histograms_ep*.npz"))
+    assert hists, "phase-2 histogram snapshots not emitted"
+    npz = np.load(hists[0])
+    assert any(k.startswith("grad_hist/graphone/") for k in npz.files)
     assert set(result["banks"].keys()) == {"ar", "lta", "pnr"}
     for b in result["banks"].values():
         assert b.num_valid > 0

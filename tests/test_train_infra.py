@@ -234,6 +234,7 @@ def test_observability_outputs_non_ar(ego4d_root, tmp_path):
     r = main_temporal.main(_mtl_overrides(ego4d_root, str(tmp_path), [
         "enabled_tasks=[lta,pnr]", "num_epochs=1", "save_model=False",
         "log_feature_plots=True", "log_per_layer_norms=True",
+        "log_histograms_every=1",
     ]))
     run_dir = r["run_dir"]
     lines = [json.loads(l) for l in open(osp.join(run_dir, "metrics.jsonl"))]
@@ -246,6 +247,26 @@ def test_observability_outputs_non_ar(ego4d_root, tmp_path):
         assert feats, f"{task} feature embeddings not emitted"
         npz = np.load(feats[0])
         assert npz["post"].shape[1] == 2 and npz["pre"].shape[1] == 2
+
+    # per-parameter histogram snapshots (the FULL wandb.watch(log="all")
+    # analog): counts sum to the leaf size, grads and weights both covered
+    hists = glob.glob(osp.join(run_dir, "histograms_ep*.npz"))
+    assert hists, "histogram snapshots not emitted"
+    npz = np.load(hists[0])
+    grad_keys = [k for k in npz.files if k.startswith("grad_hist/")
+                 and k.endswith(":counts")]
+    param_keys = [k for k in npz.files if k.startswith("param_hist/")
+                  and k.endswith(":counts")]
+    assert grad_keys and param_keys
+    assert len(grad_keys) == len(param_keys)  # one histogram per leaf, both
+    k = param_keys[0]
+    counts = npz[k]
+    edges = npz[k.replace(":counts", ":edges")]
+    assert counts.shape == (64,) and edges.shape == (65,)
+    import jax
+    leaves = jax.tree_util.tree_leaves(r["params"])
+    sizes = sorted(int(np.asarray(l).size) for l in leaves)
+    assert int(counts.sum()) in sizes  # every value landed in a bin
 
 
 def test_compilation_cache_and_profiler_outputs(ego4d_root, tmp_path):
