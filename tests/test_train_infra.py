@@ -7,7 +7,7 @@ import pytest
 import main_temporal
 from egopack_tpu.ops.criterion import MetricSelectorWrapper
 from egopack_tpu.train import optim as topt
-from tests.test_end_to_end import _mtl_overrides
+from tests.test_end_to_end import REPO, _mtl_overrides
 
 
 def test_cosine_schedule_matches_torch_formula():
@@ -267,6 +267,16 @@ def test_observability_outputs_non_ar(ego4d_root, tmp_path):
     leaves = jax.tree_util.tree_leaves(r["params"])
     sizes = sorted(int(np.asarray(l).size) for l in leaves)
     assert int(counts.sum()) in sizes  # every value landed in a bin
+
+    # the offline renderer turns the snapshot into a PNG grid
+    import sys
+    sys.path.insert(0, osp.join(REPO, "scripts"))
+    try:
+        from render_histograms import render
+    finally:
+        sys.path.pop(0)
+    png = render(hists[0], top=4)
+    assert osp.exists(png) and osp.getsize(png) > 0
 
 
 def test_compilation_cache_and_profiler_outputs(ego4d_root, tmp_path):
