@@ -351,7 +351,10 @@ def _run_epochs(cfg, *, system, params, opt_state, banks, dsets, task_weights,
         trace_on = False
         first_batches = None  # reused for the epoch's histogram snapshot
         for batches in device_prefetch(iter(ml), put):
-            if first_batches is None:
+            if hist_every and first_batches is None:
+                # only pinned when snapshots are enabled — otherwise the
+                # group's device buffers would sit in HBM all epoch for
+                # nothing
                 first_batches = batches
             if profiling and not trace_on and n_steps >= 1:  # skip compile
                 jax.profiler.start_trace(cfg.profile_dir)

@@ -52,7 +52,7 @@ def render(npz_path: str, prefix: str = "grad_hist", top: int = 24,
         ax.axis("off")
     fig.suptitle(f"{prefix} — {os.path.basename(npz_path)}", fontsize=10)
     fig.tight_layout()
-    out = out or npz_path.replace(".npz", f"_{prefix}.png")
+    out = out or os.path.splitext(npz_path)[0] + f"_{prefix}.png"
     fig.savefig(out, dpi=110, bbox_inches="tight")
     plt.close(fig)
     return out
