@@ -289,6 +289,29 @@ def bench_egopack():
             elapsed, mesh, REFERENCE_EGOPACK_BASELINE_CLIPS_PER_SEC)
 
 
+def require_device(timeout_s: float = None):
+    """Fail fast and legibly when the accelerator is unreachable. The
+    tunneled dev chip goes hard-down for multi-hour windows (even an 8x8
+    matmul hangs); without this guard bench.py burns its whole command
+    window hanging in the first dispatch. jax ops can't be interrupted, so
+    the probe runs in a daemon thread and the process aborts (exit 3, no
+    JSON line — the driver's parser records rc/tail) on deadline."""
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("BENCH_DEVICE_TIMEOUT", "300"))
+    import threading
+    ok = threading.Event()
+
+    def probe():
+        jax.jit(lambda x: x + 1)(jnp.zeros(())).block_until_ready()
+        ok.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not ok.wait(timeout_s):
+        print(f"bench: device unreachable after {timeout_s:.0f}s "
+              "(tunnel outage?) — aborting without numbers", flush=True)
+        os._exit(3)
+
+
 def setup_compilation_cache():
     """Persistent XLA compile cache (repo-local, gitignored): first-compile
     of the deep multi-step programs costs minutes through this image's
@@ -305,6 +328,7 @@ def main():
     from egopack_tpu.utils.platform import apply_env_platform
     apply_env_platform()
     setup_compilation_cache()
+    require_device()
     bench_mtl()
     if os.environ.get("BENCH_SKIP_EGOPACK") != "1":
         bench_egopack()

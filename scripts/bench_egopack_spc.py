@@ -39,6 +39,7 @@ def main():
     from egopack_tpu.utils.platform import apply_env_platform
     apply_env_platform()
     bench.setup_compilation_cache()
+    bench.require_device()
     # default to a 2-arm subset: each fresh full-size compile costs minutes
     # through this image's tunnel, and >2 of them exceed a command window
     # (same reason as bench_mtl_spc / bench_moments_dtype)

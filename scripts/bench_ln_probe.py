@@ -65,6 +65,7 @@ def main():
     from egopack_tpu.utils.platform import apply_env_platform
     apply_env_platform()
     bench.setup_compilation_cache()
+    bench.require_device()
 
     arms = {"baseline": build_and_warm("baseline")}
     _backbone.GraphLayerNorm = AffineOnlyLN  # trace-time swap, probe arm only

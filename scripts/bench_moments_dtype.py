@@ -73,6 +73,7 @@ def main():
     from egopack_tpu.utils.platform import apply_env_platform
     apply_env_platform()
     bench.setup_compilation_cache()
+    bench.require_device()
     # BENCH_ARMS=baseline,no_norms selects a subset (4 compiles through the
     # dev tunnel exceed practical command timeouts)
     sel = os.environ.get("BENCH_ARMS")

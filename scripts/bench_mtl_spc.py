@@ -30,6 +30,7 @@ def main():
     from egopack_tpu.utils.platform import apply_env_platform
     apply_env_platform()
     bench.setup_compilation_cache()
+    bench.require_device()
     arms = {}
     for name in os.environ.get("BENCH_ARMS", "spc8,spc16").split(","):
         spc = ARM_SPCS[name]

@@ -362,6 +362,23 @@ def test_bench_emits_two_parseable_json_lines():
         assert line["value"] > 0 and line["vs_baseline"] > 0
 
 
+def test_bench_aborts_legibly_when_device_unreachable():
+    """require_device: an unreachable accelerator must abort fast with a
+    NON-JSON message and exit 3 (so the driver records rc/tail instead of
+    parsing an error as the headline metric, and a tunnel outage doesn't
+    burn the whole command window hanging)."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_DEVICE_TIMEOUT="0")
+    ret = subprocess.run([sys.executable, "bench.py"], cwd=REPO,
+                         capture_output=True, text=True, timeout=120,
+                         env=env)
+    assert ret.returncode == 3, (ret.returncode, ret.stderr[-500:])
+    assert "device unreachable" in ret.stdout
+    assert not [l for l in ret.stdout.splitlines() if l.startswith("{")]
+
+
 def test_device_batch_gen_matches_host_generator_contract():
     """bench.py's on-device batch generator must stay a drop-in twin of
     __graft_entry__._synthetic_batches: identical tree shapes/dtypes (the
