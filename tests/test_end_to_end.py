@@ -362,6 +362,26 @@ def test_bench_emits_two_parseable_json_lines():
         assert line["value"] > 0 and line["vs_baseline"] > 0
 
 
+def test_interleaved_harness_honors_windows_knob(monkeypatch):
+    """run_interleaved_arms: BENCH_WINDOWS (the CPU smoke knob) must bound
+    the timed windows, and every arm gets 3 warmup calls + windows*steps
+    timed calls."""
+    import bench
+
+    calls = {"n": 0}
+
+    def step(params, opt_state, batch_list, key, i, lr):
+        calls["n"] += 1
+        return params, opt_state, {"v": np.zeros(1)}
+
+    arms = {"a": {"step": step, "params": 0, "opt_state": 0, "extra": (),
+                  "batch_list": (), "spc": 2, "lr": 0.0}}
+    monkeypatch.setenv("BENCH_WINDOWS", "2")
+    out = bench.run_interleaved_arms(arms, steps=3)
+    assert calls["n"] == 3 + 2 * 3  # warmup + windows x steps
+    assert set(out) == {"a"} and out["a"] >= 0.0
+
+
 def test_bench_aborts_legibly_when_device_unreachable():
     """require_device: an unreachable accelerator must abort fast with a
     NON-JSON message and exit 3 (so the driver records rc/tail instead of
