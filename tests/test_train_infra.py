@@ -279,6 +279,25 @@ def test_observability_outputs_non_ar(ego4d_root, tmp_path):
     assert osp.exists(png) and osp.getsize(png) > 0
 
 
+def test_apply_env_platform_warns_when_backends_committed(caplog, monkeypatch):
+    """Once jax backends are initialized, config.update('jax_platforms')
+    succeeds silently while the cached backends keep the old platform —
+    apply_env_platform must WARN and keep the active platform instead of
+    silently no-oping (round-3 review finding)."""
+    import logging
+
+    import jax
+
+    from egopack_tpu.utils.platform import apply_env_platform
+
+    jax.devices()  # commit the (conftest-pinned cpu) backends
+    monkeypatch.setenv("JAX_PLATFORMS", "tpu")
+    with caplog.at_level(logging.WARNING, logger="egopack_tpu.utils.platform"):
+        apply_env_platform()
+    assert "already initialized" in caplog.text
+    assert jax.default_backend() == "cpu"
+
+
 def test_compilation_cache_and_profiler_outputs(ego4d_root, tmp_path):
     """Two new-capability knobs actually produce their artifacts: the
     persistent XLA compilation cache fills, and jax.profiler writes a trace
