@@ -78,18 +78,21 @@ class BaseMeter:
     # feature arrays ride the cross-process wire only up to the t-SNE
     # sample budget (feature_embedding subsamples to 2000 points anyway);
     # without the cap a multihost epoch with log_feature_plots=True would
-    # allgather O(val_set × hidden) bytes per task to every process
+    # allgather O(val_set × hidden) bytes per task to every process.
+    # Rows are subsampled UNIFORMLY across the accumulated arrays so the
+    # shipped set represents the whole epoch, not its first batches. This
+    # affects the t-SNE feature PLOTS only (every metric merges exactly);
+    # merged plots remain a subsample, not the single-process row set.
     FEATURE_WIRE_CAP = 2000
 
     def _capped(self, feats: List[np.ndarray]) -> List[np.ndarray]:
-        out, rows = [], 0
-        for f in feats:
-            if rows >= self.FEATURE_WIRE_CAP:
-                break
-            take = min(len(f), self.FEATURE_WIRE_CAP - rows)
-            out.append(f[:take])
-            rows += take
-        return out
+        total = sum(len(f) for f in feats)
+        if total <= self.FEATURE_WIRE_CAP:
+            return list(feats)
+        cat = np.concatenate([np.asarray(f) for f in feats], axis=0)
+        idx = np.round(np.linspace(0, total - 1,
+                                   self.FEATURE_WIRE_CAP)).astype(np.int64)
+        return [cat[idx]]
 
     def state(self) -> Dict:
         """Picklable snapshot of the accumulators. With process-sharded

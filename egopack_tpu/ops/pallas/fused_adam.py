@@ -84,11 +84,17 @@ def _adam_kernel(p_ref, g_ref, m_ref, v_ref, sc_ref,
 def fused_adam_leaf(p: jax.Array, g: jax.Array, m: jax.Array, v: jax.Array,
                     lr: jax.Array, bc1: jax.Array, bc2: jax.Array, *,
                     wd: float, b1: float, b2: float, eps: float,
-                    m_dtype) -> Tuple[jax.Array, jax.Array, jax.Array]:
+                    m_dtype, use_pallas: bool = True
+                    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One leaf's full Adam step -> (p', m', v'). Pallas single-pass kernel
-    for 128-lane-aligned leaves; identical-math jnp fallback otherwise."""
+    for 128-lane-aligned leaves; identical-math jnp fallback otherwise.
+
+    ``use_pallas=False`` forces the jnp path for every leaf — required under
+    a tensor-parallel mesh, where pallas_call has no GSPMD partitioning spec
+    and model-axis-sharded leaves would be gathered whole onto each device
+    (the jnp math partitions natively)."""
     size = p.size
-    if size < _MIN_PALLAS_SIZE or size % _LANES != 0:
+    if not use_pallas or size < _MIN_PALLAS_SIZE or size % _LANES != 0:
         p2, m2, v2 = _adam_math(
             p.astype(jnp.float32), g.astype(jnp.float32),
             m.astype(jnp.float32), v.astype(jnp.float32), lr, bc1, bc2,

@@ -120,6 +120,50 @@ def allgather_bytes(payload: bytes) -> list:
     return [gathered[i, :lens[i]].tobytes() for i in range(len(lens))]
 
 
+def state_to_bytes(pid: int, st: Dict) -> bytes:
+    """Serialize one meter ``state()`` snapshot as an npz blob (non-executable
+    wire format: peer payloads are plain numeric arrays, never unpickled
+    code). Meter states are scalars + lists of numeric arrays by contract
+    (eval/meters.py ``state``); anything else fails loudly here rather than
+    riding the wire."""
+    import io
+    arrays: Dict[str, np.ndarray] = {"__pid__": np.asarray(pid, np.int64)}
+    for key, val in st.items():
+        if isinstance(val, list):
+            arrays[f"__len__/{key}"] = np.asarray(len(val), np.int64)
+            for i, item in enumerate(val):
+                arrays[f"L/{key}/{i}"] = np.asarray(item)
+        else:
+            arrays[f"S/{key}"] = np.asarray(val)
+    for key, arr in arrays.items():
+        if arr.dtype == object:
+            raise TypeError(f"meter state entry {key!r} is not numeric")
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
+def state_from_bytes(blob: bytes) -> Tuple[int, Dict]:
+    """Inverse of :func:`state_to_bytes`. ``allow_pickle`` stays at numpy's
+    safe default, so a malicious payload cannot execute code here."""
+    import io
+    with np.load(io.BytesIO(blob)) as z:
+        pid = int(z["__pid__"])
+        st: Dict[str, Any] = {}
+        for key in z.files:
+            if key.startswith("S/"):
+                arr = z[key]
+                st[key[2:]] = arr.item() if arr.ndim == 0 else arr
+        for key in z.files:
+            if key.startswith("__len__/"):
+                name = key.split("/", 1)[1]
+                st[name] = [
+                    (lambda a: a.item() if a.ndim == 0 else a)(
+                        z[f"L/{name}/{i}"])
+                    for i in range(int(z[key]))]
+    return pid, st
+
+
 def merge_meter(meter) -> None:
     """Fold every other process's meter accumulators into ``meter`` (sharded
     multi-host validation). Loss accumulators are NOT merged: the per-batch
@@ -127,11 +171,10 @@ def merge_meter(meter) -> None:
     process, so each meter already holds the full loss series."""
     if jax.process_count() == 1:
         return
-    import pickle
     own = jax.process_index()
-    payload = pickle.dumps((own, meter.state()))
+    payload = state_to_bytes(own, meter.state())
     for blob in allgather_bytes(payload):
-        pid, st = pickle.loads(blob)
+        pid, st = state_from_bytes(blob)
         if pid != own:
             meter.merge_state(st, include_loss=False)
 

@@ -93,6 +93,11 @@ class FusedAdam:
         self.b1, self.b2, self.eps = float(b1), float(b2), float(eps)
         self.trainable_mask = trainable_mask
         self.m_dtype = jnp.dtype(moments_dtype or "float32")
+        # flipped off by init_opt_state on tensor-parallel meshes:
+        # pl.pallas_call carries no GSPMD spec, so model-axis-sharded leaves
+        # would force full gathers; the identical-math jnp path partitions
+        # natively (ADVICE r3)
+        self.use_pallas = True
 
     def init(self, params) -> FusedAdamState:
         import jax
@@ -129,7 +134,8 @@ class FusedAdam:
             return fused_adam_leaf(p, g, m, v, lr, bc1, bc2,
                                    wd=self.weight_decay, b1=self.b1,
                                    b2=self.b2, eps=self.eps,
-                                   m_dtype=self.m_dtype)
+                                   m_dtype=self.m_dtype,
+                                   use_pallas=self.use_pallas)
         out = jax.tree_util.tree_map(leaf, params, grads, state.mu, state.nu,
                                      mask)
         is_triple = lambda x: isinstance(x, tuple) and len(x) == 3  # noqa
@@ -191,6 +197,18 @@ def init_opt_state(optimizer: optax.GradientTransformation, params, mesh=None):
     (measured ~30s wasted per run at full size)."""
     import contextlib
     import jax
+    if (isinstance(optimizer, FusedAdam) and mesh is not None
+            and mesh.shape.get("model", 1) > 1 and optimizer.use_pallas):
+        # pallas_call has no GSPMD partitioning spec: on a TP mesh the
+        # model-axis-sharded leaves (TRN fc0/fc1, parallel/mesh.py) would be
+        # gathered whole per device or fail to lower. Same-math jnp path
+        # partitions natively (ADVICE r3).
+        import logging
+        logging.getLogger(__name__).warning(
+            "optimizer.impl=fused on a tensor-parallel mesh (model=%d): "
+            "using the identical-math jnp path instead of the Pallas kernel",
+            mesh.shape["model"])
+        optimizer.use_pallas = False
     ctx = jax.set_mesh(mesh) if mesh is not None \
         else contextlib.nullcontext()
     with ctx:

@@ -25,9 +25,13 @@ def apply_env_platform() -> None:
     if not plat:
         return
     import jax
-    from jax._src import xla_bridge
 
-    if xla_bridge.backends_are_initialized():
+    try:  # private API — probe defensively so a jax bump can't break the CLIs
+        from jax._src import xla_bridge
+        initialized = xla_bridge.backends_are_initialized()
+    except (ImportError, AttributeError):
+        initialized = False
+    if initialized:
         logger.warning("JAX_PLATFORMS=%s set but jax backends are already "
                        "initialized; keeping the active platform", plat)
         return

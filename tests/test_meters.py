@@ -168,8 +168,6 @@ def test_meter_state_merge_matches_single(ego4d_root):
     """Sharded multi-host eval contract: metering half the batches on each of
     two meters and merging states must reproduce the single-meter metrics
     exactly (order-insensitive accumulators), for every meter class."""
-    import pickle
-
     from egopack_tpu.data import (Ego4dLTADataset, Ego4dOSCCDataset,
                                   Ego4dPNRDataset, Ego4dRecognitionDataset)
     from egopack_tpu.eval.meters import build_meter_for_dataset
@@ -228,11 +226,39 @@ def test_meter_state_merge_matches_single(ego4d_root):
                 else:
                     m.update(*upd)
                 m.update_features(post=np.full((3, 4), float(i)))
-        # state round-trips through pickle (the allgather wire format)
-        st = pickle.loads(pickle.dumps(halves[1].state()))
+        # state round-trips through the npz allgather wire format
+        # (non-executable by construction — no pickle on peer data)
+        from egopack_tpu.parallel import multihost as mh
+        pid, st = mh.state_from_bytes(mh.state_to_bytes(1, halves[1].state()))
+        assert pid == 1
         halves[0].merge_state(st, include_loss=True)
         a, b = single.get_logs(), halves[0].get_logs()
         assert a.keys() == b.keys()
         for k in a:
             assert a[k] == pytest.approx(b[k], rel=1e-12), (cls.__name__, k)
         assert len(halves[0]._post_features) == len(single._post_features)
+
+
+def test_feature_wire_cap_subsamples_uniformly():
+    """The cross-process feature cap ships a uniform subsample over the whole
+    accumulated epoch, not the first batches (ADVICE r3: first-N truncation
+    over-represented early val batches in merged t-SNE plots)."""
+    from egopack_tpu.eval.meters import BaseMeter
+
+    m = BaseMeter(save_features=True)
+    for i in range(10):
+        m.update_features(post=np.full((500, 4), float(i)))
+    shipped = m._capped(m._post_features)
+    rows = np.concatenate(shipped)
+    assert len(rows) == BaseMeter.FEATURE_WIRE_CAP
+    # every source batch represented, in proportion (500/5000 -> ~200 each)
+    batch_ids, counts = np.unique(rows[:, 0], return_counts=True)
+    assert list(batch_ids) == [float(i) for i in range(10)]
+    assert counts.min() >= 190 and counts.max() <= 210
+
+    # under the cap: pass-through, no concatenation or reordering
+    small = BaseMeter(save_features=True)
+    small.update_features(post=np.full((3, 4), 1.0))
+    small.update_features(post=np.full((3, 4), 2.0))
+    out = small._capped(small._post_features)
+    assert len(out) == 2 and len(out[0]) == 3

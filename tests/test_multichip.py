@@ -228,3 +228,36 @@ def test_cold_eval_on_mesh_matches_single_device(ego4d_root, tmp_path):
     for key in ("accuracy", "loss"):
         assert single["oscc"][key] == pytest.approx(meshed["oscc"][key],
                                                     rel=1e-5, abs=1e-6), key
+
+
+def test_fused_adam_on_tp_mesh_matches_optax():
+    """optimizer.impl=fused under a tensor-parallel mesh (ADVICE r3):
+    init_opt_state flips the Pallas path off (pl.pallas_call carries no
+    GSPMD partitioning spec, so model-axis-sharded leaves would force full
+    gathers) and the identical-math jnp path must reproduce the optax chain
+    on the same 2x2 mesh."""
+    from egopack_tpu.train import optim as topt
+
+    feat_dim, hidden = 16, 32
+    active = ("ar", "oscc")
+    results = {}
+    for impl in ("optax", "fused"):
+        mesh = pmesh.make_mesh(2, 2)
+        system = ge._build_system(hidden, 16, feat_dim)
+        params = pmesh.place_params(
+            system.init_params(jax.random.PRNGKey(0), feat_dim), mesh)
+        optimizer = topt.adam(1e-3, 0.01, impl=impl)
+        opt_state = topt.init_opt_state(optimizer, params, mesh)
+        if impl == "fused":
+            assert optimizer.use_pallas is False, \
+                "TP-mesh guard must disable the Pallas path"
+        step = system.make_train_step(optimizer, active)
+        batches = ge._synthetic_batches(system, 8, feat_dim, seed=3)
+        sharded = {n: pmesh.shard_batch(dict(b), mesh)
+                   for n, b in batches.items() if n in active}
+        new_params, _, _ = step(params, opt_state, sharded,
+                                jax.random.PRNGKey(7), 1e-3)
+        results[impl] = jax.tree_util.tree_map(np.asarray, new_params)
+    for a, b in zip(jax.tree_util.tree_leaves(results["optax"]),
+                    jax.tree_util.tree_leaves(results["fused"])):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
