@@ -146,6 +146,20 @@ def main() -> None:
         mh.merge_meter(meter)
     val_logs.update({f"pnr/{k}": v for k, v in scalars(meter).items()})
 
+    # sharded prototype-bank build: process-sharded loader + data-mesh
+    # segment sums must reproduce the single-process control's banks exactly
+    from egopack_tpu.models.graphone import (build_prototypes,
+                                             make_prototype_step)
+    nv, nn2 = ds.num_class_labels
+    ploader = build_dataloader(ds, 8, False, 0, False, seed=7,
+                               process_shard=mh.process_shard())
+    pstep = make_prototype_step(system, ("lta", "pnr"), nv, nn2, mesh=mesh)
+    pbanks = build_prototypes(pstep, params, ploader, nv, nn2, n_tasks=2,
+                              mesh=mesh)
+    proto = {"valid": int(next(iter(pbanks.values())).num_valid),
+             "checksum": float(sum(np.abs(np.asarray(b.values)).sum()
+                                   for b in pbanks.values()))}
+
     # GraphONE interaction over MODEL-AXIS-SHARDED prototype banks (the
     # long-context analog) under real multi-process TP: sharded AR eval
     # with aux interaction must also match the single-process control
@@ -184,7 +198,7 @@ def main() -> None:
         save_artifact(artifact_dir, "MTL_ar", dict(params))
 
     print(json.dumps({"pid": pid, "loss": loss, "checksum": checksum,
-                      "val": val_logs}),
+                      "val": val_logs, "proto": proto}),
           flush=True)
 
 

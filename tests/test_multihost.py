@@ -132,6 +132,11 @@ def test_two_process_distributed_matches_single_process(ego4d_root, tmp_path):
     assert outs[0]["loss"] == pytest.approx(outs[1]["loss"], abs=1e-7)
     assert outs[0]["checksum"] == pytest.approx(outs[1]["checksum"], rel=1e-7)
 
+    # sharded prototype build: replicated banks agree across processes
+    assert outs[0]["proto"]["valid"] == outs[1]["proto"]["valid"] > 0
+    assert outs[0]["proto"]["checksum"] == pytest.approx(
+        outs[1]["proto"]["checksum"], rel=1e-7)
+
     # sharded validation: both processes' merged meter logs agree
     assert outs[0]["val"].keys() == outs[1]["val"].keys()
     for k in outs[0]["val"]:
@@ -153,6 +158,10 @@ def test_two_process_distributed_matches_single_process(ego4d_root, tmp_path):
     ctl_out = json.loads(ctl.stdout.strip().splitlines()[-1])
     assert ctl_out["loss"] == pytest.approx(outs[0]["loss"], abs=1e-6)
     assert ctl_out["checksum"] == pytest.approx(outs[0]["checksum"], rel=1e-6)
+    # 2-process sharded prototype sweep == single-process full-set sweep
+    assert ctl_out["proto"]["valid"] == outs[0]["proto"]["valid"]
+    assert ctl_out["proto"]["checksum"] == pytest.approx(
+        outs[0]["proto"]["checksum"], rel=1e-6)
     # 2-process SHARDED eval == single-process full-set eval (VERDICT r2 #2):
     # same global batches, same padded set, loss recorded once per batch
     assert ctl_out["val"].keys() == outs[0]["val"].keys()
