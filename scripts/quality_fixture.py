@@ -1,24 +1,29 @@
 #!/usr/bin/env python3
 """3-seed fixture-quality protocol: the hermetic stand-in for the paper table.
 
-Runs the full two-phase recipe (MTL ar+lta+pnr -> EgoPack novel-task OSCC
-with cross-task prototype interaction) on the planted-signal synthetic
-fixture at the reference's 3-seed evaluation protocol (README.md:36-39 of the
-reference repo averages every metric over three runs), and prints
-mean +/- spread for every headline metric:
+Runs the FULL leave-one-out matrix (the reference's experiment suite,
+/root/reference/experiments/egopack/{ar,oscc,lta,pnr}.yaml) on the
+planted-signal synthetic fixture at the reference's 3-seed protocol
+(README.md:36-39 of the reference repo averages every metric over three
+runs): for each novel task, MTL pretraining on the complementary triple, then
+EgoPack phase 2 with the reference's per-task hyperparameter SHAPE —
+backprop'd train-mode backbone for AR/OSCC/PNR, FROZEN eval-mode backbone for
+LTA (lta.yaml: backprop_temporal_graph=False) — and prints mean/min/max for
+every headline metric:
 
     AR verbs/nouns top-1, PNR AUROC + localization error, LTA verb/noun edit
-    distance (from the MTL phase), and novel-task OSCC accuracy (from the
-    EgoPack phase).
+    distance (from the MTL phase), and each novel task's own headline metric
+    from its EgoPack phase.
 
 Chance levels on this fixture (6 verbs / 5 nouns): AR 0.17/0.20, OSCC 0.50,
 PNR AUROC 0.50, LTA ED ~0.83. Not paper numbers (no real Ego4D in-image) —
 this pins end-to-end learning across every task head + the prototype
 interaction, seed-robustly. BASELINE.md records the pinned output.
 
-Runs on CPU by default (~15 min on one host core); set JAX_PLATFORMS to
-override — per-batch eval through this image's tunneled TPU would round-trip
-the network for every batch (CLAUDE.md environment rules).
+Runs on CPU by default (~1h for the full matrix on one host core; set
+EGOPACK_QUALITY_TASKS=oscc for the old single-column run). Set JAX_PLATFORMS
+to override the platform — per-batch eval through this image's tunneled TPU
+would round-trip the network for every batch (CLAUDE.md environment rules).
 """
 
 import json
@@ -30,6 +35,27 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SEEDS = (65, 72, 97)  # the reference's sweep seeds (experiments/egopack/*)
+
+ALL_TASKS = ("ar", "oscc", "lta", "pnr")
+
+# per-task phase-2 shapes (experiments/egopack/*.yaml); lr/epochs are
+# fixture-scaled, the backprop/train-mode flags are the reference's
+NOVEL_FLAGS = {
+    "ar": ["backprop_temporal_graph=True", "temporal_graph_train_mode=True"],
+    "oscc": ["backprop_temporal_graph=True",
+             "temporal_graph_train_mode=True"],
+    "lta": ["backprop_temporal_graph=False",
+            "temporal_graph_train_mode=False"],
+    "pnr": ["backprop_temporal_graph=True", "temporal_graph_train_mode=True"],
+}
+
+# novel-task headline metrics to lift from the driver's final validation
+NOVEL_METRICS = {
+    "ar": ("verbs_top1", "nouns_top1"),
+    "oscc": ("accuracy",),
+    "lta": ("verbs_ed", "nouns_ed"),
+    "pnr": ("auroc", "localization_error"),
+}
 
 
 def overrides(root, tmp, seed, extra=()):
@@ -88,23 +114,33 @@ def run_seed(root, tmp, seed):
     out["lta_verbs_ed"], out["lta_nouns_ed"] = (logs["verbs_ed"],
                                                 logs["nouns_ed"])
 
-    ego = main_egopack.main(overrides(root, tmp, seed, [
-        "enabled_tasks=[oscc]", "enable_graphone=True",
-        "resume_from=MTL_ar-lta-pnr", "graphone.k=2", "graphone.depth=1",
-        "graphone.hidden_size=32", "graphone.residual=True",
-        "num_epochs=10", "optimizer.lr=1e-3", "task_head_dropout=0.0",
-        "model.temporal_pooling.dropout=0.0",
-        "backprop_temporal_graph=True", "temporal_graph_train_mode=False",
-        "save_model=False",
-    ]))
-    step = ego["system"].make_eval_step("oscc", aux=("ar", "lta", "pnr"),
-                                        graphone=ego["graphone"],
-                                        late_fusion=True)
-    meter = build_meter_for_dataset(ego["dsets"]["oscc"]["val"])
-    validate(step, ego["params"], ego["banks"],
-             build_dataloader(ego["dsets"]["oscc"]["val"], 8, False, 0, False),
-             meter, "oscc")
-    out["egopack_oscc_accuracy"] = meter.get_logs()["accuracy"]
+    # leave-one-out phase 2 for every novel task; the ar-lta-pnr MTL above
+    # already provides novel-OSCC's artifact, the other triples train here
+    novel_tasks = [t for t in ALL_TASKS
+                   if t in os.environ.get("EGOPACK_QUALITY_TASKS",
+                                          ",".join(ALL_TASKS)).split(",")]
+    for novel in novel_tasks:
+        others = sorted(set(ALL_TASKS) - {novel})
+        artifact = f"MTL_{'-'.join(others)}"
+        if novel != "oscc":
+            main_temporal.main(overrides(root, tmp, seed, [
+                f"enabled_tasks=[{','.join(others)}]", "num_epochs=25",
+                "optimizer.lr=1e-3", "model.temporal_pooling.dropout=0.0",
+                "save_model=True",
+            ]))
+        ego = main_egopack.main(overrides(root, tmp, seed, [
+            f"enabled_tasks=[{novel}]", "enable_graphone=True",
+            f"resume_from={artifact}", "graphone.k=2", "graphone.depth=1",
+            "graphone.hidden_size=32", "graphone.residual=True",
+            "num_epochs=10", "optimizer.lr=1e-3", "task_head_dropout=0.0",
+            "model.temporal_pooling.dropout=0.0", "save_model=False",
+            *NOVEL_FLAGS[novel],
+        ]))
+        # headline metrics straight from the driver's final validation — the
+        # graphone-interacting eval steps it builds for the active task
+        logs = ego["val_metrics"][novel]
+        for m in NOVEL_METRICS[novel]:
+            out[f"egopack_{novel}_{m}"] = float(logs[m])
     return out
 
 

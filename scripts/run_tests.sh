@@ -15,6 +15,7 @@ run tests/test_train_infra.py tests/test_multihost.py
 run tests/test_reference_parity.py
 run tests/test_shim_contract.py
 run tests/test_multichip.py tests/test_learning.py
-run tests/test_end_to_end.py -k "not sweep_runner and not midrun and not trainable and not cold_reload"
+run tests/test_end_to_end.py -k "not sweep_runner and not midrun and not trainable and not cold_reload and not novel_task"
 run tests/test_end_to_end.py -k "sweep_runner or midrun or trainable or cold_reload"
+run tests/test_end_to_end.py -k "novel_task"
 echo "ALL GROUPS GREEN"
