@@ -41,7 +41,7 @@ REFERENCE_BASELINE_CLIPS_PER_SEC = 2000.0
 # (one primary task per step in the reference's phase-2 loop)
 REFERENCE_EGOPACK_BASELINE_CLIPS_PER_SEC = 640.0
 
-BATCH = 16
+BATCH = int(os.environ.get("BENCH_BATCH", "16"))  # clips per task per step
 ACTIVE = ("ar", "lta", "pnr")
 WARMUP = 5
 STEPS = 10  # x steps_per_call inner steps

@@ -1,0 +1,131 @@
+#!/usr/bin/env python3
+"""xplane-traced op ledger for the bench steps (VERDICT r3 weak #4/#2).
+
+Captures a jax.profiler trace of the production multi-step program (MTL or
+EgoPack arm, any batch size via BENCH_BATCH) and prints the top device-time
+sinks with percentages, parsed from the .xplane.pb with
+jax.profiler.ProfileData — turning the "optimizer-HBM-bound" timing
+inference into a named, traced budget (docs/ARCHITECTURE.md ledger section).
+
+Usage (real chip; probe the tunnel first — CLAUDE.md):
+    python scripts/trace_ledger.py mtl          # batch from BENCH_BATCH (16)
+    BENCH_BATCH=128 python scripts/trace_ledger.py mtl
+    python scripts/trace_ledger.py ego
+
+Smoke (CPU): JAX_PLATFORMS=cpu BENCH_FEAT_DIM=32 BENCH_HIDDEN=32 \
+    BENCH_STEPS_PER_CALL=4 python scripts/trace_ledger.py mtl
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def aggregate_device_ops(xplane_path, top: int = 25):
+    """Sum event durations per op name over every device plane line.
+
+    Device planes are the non-host planes (``/device:TPU:N`` on real chips;
+    the ``tf_XLAPjRt*Client`` executor line on CPU smoke runs). Events named
+    ``end: <op>`` (CPU async markers) are folded out; per-name totals and the
+    share of the summed device time are reported."""
+    from jax.profiler import ProfileData
+
+    # executor bookkeeping that wraps (and would double-count) the real ops
+    wrappers = ("ThunkExecutor::", "ThreadpoolListener::", "EndOfStep")
+
+    pd = ProfileData.from_file(xplane_path)
+    totals = {}
+    plane_names = []
+    for plane in pd.planes:
+        is_device = plane.name.startswith("/device:")
+        lines = list(plane.lines)
+        # TPU device planes carry both "XLA Modules" (whole-program spans)
+        # and "XLA Ops" (per-op spans) — keep only the op-level line there
+        op_lines = [l for l in lines if l.name == "XLA Ops"]
+        if is_device and op_lines:
+            lines = op_lines
+        for line in lines:
+            if not (is_device or line.name.startswith("tf_XLAPjRt")):
+                continue
+            if line.name == "XLA Modules":
+                continue
+            plane_names.append(f"{plane.name}::{line.name}")
+            for ev in line.events:
+                name = ev.name
+                if name.startswith("end: ") or name.startswith(wrappers):
+                    continue
+                totals[name] = totals.get(name, 0.0) + ev.duration_ns
+    grand = sum(totals.values()) or 1.0
+    ranked = sorted(totals.items(), key=lambda kv: -kv[1])
+    return {
+        "planes": sorted(set(plane_names)),
+        "device_time_ms": round(grand / 1e6, 3),
+        "top": [{"op": k, "ms": round(v / 1e6, 3),
+                 "pct": round(100.0 * v / grand, 2)}
+                for k, v in ranked[:top]],
+    }
+
+
+def main():
+    arm = sys.argv[1] if len(sys.argv) > 1 else "mtl"
+    out_dir = (sys.argv[2] if len(sys.argv) > 2
+               else os.path.join("/tmp", f"trace_{arm}"))
+
+    from egopack_tpu.utils.platform import apply_env_platform
+    apply_env_platform()
+
+    import jax
+
+    import bench
+
+    bench.setup_compilation_cache()
+    bench.require_device()
+
+    spc = int(os.environ.get("BENCH_STEPS_PER_CALL", "16"))
+    moments = os.environ.get("BENCH_MOMENTS_DTYPE", "float32")
+    if arm == "mtl":
+        step, params, opt_state, batch_list, mesh = bench.build_mtl_step(
+            spc, moments)
+        extra = ()
+    elif arm == "ego":
+        step, params, opt_state, banks, batch_list, mesh = \
+            bench.build_egopack_step(spc, moments)
+        extra = (banks,)
+    else:
+        raise SystemExit(f"unknown arm {arm!r} (mtl|ego)")
+
+    rng = jax.random.PRNGKey(1)
+    state = [params, opt_state]
+
+    def dispatch(i):
+        state[0], state[1], logs = step(state[0], state[1], *extra,
+                                        batch_list,
+                                        jax.random.fold_in(rng, i),
+                                        i * spc, 1e-5)
+        return logs
+
+    for i in range(3):  # compile + warm
+        logs = dispatch(i)
+    bench._sync(logs)
+    print(f"[{arm}] warm (batch={bench.BATCH}, spc={spc})", flush=True)
+
+    with jax.profiler.trace(out_dir):
+        for i in range(3, 6):
+            logs = dispatch(i)
+        bench._sync(logs)
+
+    import glob
+    paths = sorted(glob.glob(out_dir + "/**/*.xplane.pb", recursive=True))
+    assert paths, f"no xplane written under {out_dir}"
+    ledger = aggregate_device_ops(paths[-1])
+    ledger["arm"] = arm
+    ledger["batch"] = bench.BATCH
+    ledger["spc"] = spc
+    ledger["xplane"] = paths[-1]
+    print(json.dumps(ledger, indent=1))
+
+
+if __name__ == "__main__":
+    main()
