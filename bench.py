@@ -161,10 +161,16 @@ def _report(metric: str, clips: int, elapsed: float, mesh, denominator: float):
     }), flush=True)
 
 
-def build_mtl_step(spc: int, moments_dtype: str = "float32"):
+def build_mtl_step(spc: int, moments_dtype: str = "float32",
+                   log_norms="default"):
     """Line-1 harness (fused AR+LTA+PNR step at the experiments/mtl.yaml
     configuration; sized by the BENCH_FEAT_DIM/BENCH_HIDDEN smoke knobs).
-    Shared by the bench line below and scripts/bench_mtl_spc.py."""
+    Shared by the bench line below and scripts/bench_mtl_spc.py.
+    ``log_norms``: True | False | "last" (BENCH_LOG_NORMS when "default") —
+    the per-step grad/param norm passes are an observability extra; "last"
+    prices them at 1/spc (system.make_train_step_multi)."""
+    if log_norms == "default":
+        log_norms = _env_log_norms()
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16" \
         else jnp.float32
     feat_dim, hidden = FEAT_DIM, HIDDEN
@@ -183,7 +189,8 @@ def build_mtl_step(spc: int, moments_dtype: str = "float32"):
     optimizer = topt.adam(1e-5, 1e-5, trainable_mask=mask,
                           moments_dtype=moments_dtype)
     opt_state = topt.init_opt_state(optimizer, params, mesh)
-    step = system.make_train_step_multi(optimizer, ACTIVE, spc)
+    step = system.make_train_step_multi(optimizer, ACTIVE, spc,
+                                        log_norms=log_norms)
 
     # batches are generated ON DEVICE (one jit, reused per group): shipping
     # spc host-built groups (~5 MB each) through the tunneled chip's host
@@ -217,7 +224,14 @@ def bench_mtl():
             elapsed, mesh, REFERENCE_BASELINE_CLIPS_PER_SEC)
 
 
-def build_egopack_step(spc: int, moments_dtype: str = "float32"):
+def _env_log_norms():
+    """BENCH_LOG_NORMS: true|false|last (default true = production default)."""
+    v = os.environ.get("BENCH_LOG_NORMS", "true").lower()
+    return {"true": True, "false": False, "last": "last"}[v]
+
+
+def build_egopack_step(spc: int, moments_dtype: str = "float32",
+                       log_norms="default"):
     """Phase-2 hot-loop harness (novel-OSCC EgoPack step, 3 model-axis-
     shardable prototype banks P=2048, graphone depth 3 / k=8 —
     configs/defaults.yaml graphone block, backprop backbone, SURVEY §3.3;
@@ -258,9 +272,12 @@ def build_egopack_step(spc: int, moments_dtype: str = "float32"):
     optimizer = topt.adam(1e-6, 1e-5, trainable_mask=mask,
                           moments_dtype=moments_dtype)
     opt_state = topt.init_opt_state(optimizer, params, mesh)
+    if log_norms == "default":
+        log_norms = _env_log_norms()
     step = system.make_egopack_train_step_multi(
         optimizer, ("oscc",), graphone, spc, backprop_temporal_graph=True,
-        temporal_graph_train_mode=False, late_fusion=True)
+        temporal_graph_train_mode=False, late_fusion=True,
+        log_norms=log_norms)
 
     # on-device batch generation, as in build_mtl_step
     gen = ge.make_device_batch_gen(system, BATCH * mesh.shape["data"],

@@ -468,7 +468,9 @@ def train_mtl(cfg) -> Dict[str, Any]:
                              cfg.use_warmup)
     opt_state = topt.init_opt_state(optimizer, params, mesh)
 
-    log_norms = bool(cfg.get("log_grad_norms", True))
+    # True | False | "last" (norms only on each group's last inner
+    # step — the bandwidth lever documented in make_train_step_multi)
+    log_norms = cfg.get("log_grad_norms", True)
     per_layer = bool(cfg.get("log_per_layer_norms", False))
     step_fn = system.make_train_step(optimizer, active, log_norms=log_norms,
                                      per_layer_norms=per_layer)
@@ -607,7 +609,9 @@ def train_egopack(cfg) -> Dict[str, Any]:
                              cfg.use_warmup)
     opt_state = topt.init_opt_state(optimizer, params, mesh)
 
-    log_norms = bool(cfg.get("log_grad_norms", True))
+    # True | False | "last" (norms only on each group's last inner
+    # step — the bandwidth lever documented in make_train_step_multi)
+    log_norms = cfg.get("log_grad_norms", True)
     per_layer = bool(cfg.get("log_per_layer_norms", False))
     step_fn = system.make_egopack_train_step(
         optimizer, active, graphone,

@@ -375,21 +375,37 @@ class MultiTaskSystem:
         ``gstep0`` is the epoch-relative index of the first step in the group
         and ``rng`` the epoch key — the SAME key a single-step driver run
         derives, so spc=1 and spc=K runs are bitwise identical (verified by
-        ``test_steps_per_call_matches_single_step``)."""
-        inner = self.make_train_step(optimizer, active, log_norms,
+        ``test_steps_per_call_matches_single_step``).
+
+        ``log_norms="last"`` computes the global grad/param norms only on the
+        group's LAST inner step (scalars in the logs, not K-stacked): the two
+        full passes over all grads+params are an observability EXTRA beyond
+        the reference (wandb.watch logs at intervals, never per step), and
+        at steps_per_call=K this prices them at 1/K — a bandwidth lever on
+        the Adam-bound step. Params are bit-identical for any setting."""
+        last_only = log_norms == "last"
+        inner = self.make_train_step(optimizer, active,
+                                     False if last_only else log_norms,
                                      per_layer_norms).inner
+        inner_last = (self.make_train_step(optimizer, active, True,
+                                           per_layer_norms).inner
+                      if last_only else inner)
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def multi_step(params, opt_state, batch_list, rng, gstep0, lr):
             opt_state.hyperparams["learning_rate"] = lr
             all_logs = []
             for k in range(steps_per_call):
-                params, opt_state, logs = inner(
+                fn = inner_last if k == steps_per_call - 1 else inner
+                params, opt_state, logs = fn(
                     params, opt_state, batch_list[k],
                     jax.random.fold_in(rng, gstep0 + k))
                 all_logs.append(logs)
             logs = {key: jnp.stack([l[key] for l in all_logs])
                     for key in all_logs[0]}
+            if last_only:  # last-step-only norm scalars, unstacked
+                logs.update({k: v for k, v in all_logs[-1].items()
+                             if k not in all_logs[0]})
             return params, opt_state, logs
 
         return multi_step
@@ -594,22 +610,36 @@ class MultiTaskSystem:
 
     def make_egopack_train_step_multi(self, optimizer, active, graphone,
                                       steps_per_call: int, **kw):
-        """Unrolled multi-step variant of the EgoPack step (same rationale and
-        rng schedule as ``make_train_step_multi``)."""
+        """Unrolled multi-step variant of the EgoPack step (same rationale,
+        rng schedule and ``log_norms="last"`` lever as
+        ``make_train_step_multi``)."""
+        last_only = kw.get("log_norms", True) == "last"
+        inner_kw = dict(kw)
+        if last_only:
+            inner_kw["log_norms"] = False
         inner = self.make_egopack_train_step(optimizer, active, graphone,
-                                             **kw).inner
+                                             **inner_kw).inner
+        inner_last = inner
+        if last_only:
+            inner_kw["log_norms"] = True
+            inner_last = self.make_egopack_train_step(
+                optimizer, active, graphone, **inner_kw).inner
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def multi_step(params, opt_state, banks, batch_list, rng, gstep0, lr):
             opt_state.hyperparams["learning_rate"] = lr
             all_logs = []
             for k in range(steps_per_call):
-                params, opt_state, logs = inner(
+                fn = inner_last if k == steps_per_call - 1 else inner
+                params, opt_state, logs = fn(
                     params, opt_state, banks, batch_list[k],
                     jax.random.fold_in(rng, gstep0 + k))
                 all_logs.append(logs)
             logs = {key: jnp.stack([l[key] for l in all_logs])
                     for key in all_logs[0]}
+            if last_only:
+                logs.update({k: v for k, v in all_logs[-1].items()
+                             if k not in all_logs[0]})
             return params, opt_state, logs
 
         return multi_step

@@ -145,10 +145,13 @@ def run_seed(root, tmp, seed):
 
 
 def main():
-    # CPU by default (docstring promise): without this, sitecustomize's
-    # remote-TPU registration wins when JAX_PLATFORMS is unset and every
-    # per-batch eval op round-trips the tunnel
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # CPU by default (docstring promise). setdefault is NOT enough: this
+    # image EXPORTS JAX_PLATFORMS=axon ambiently, so an un-prefixed launch
+    # would silently run every per-batch eval through the tunnel (and hang
+    # for the protocol's duration during outages). Opt out via
+    # EGOPACK_QUALITY_PLATFORM.
+    os.environ["JAX_PLATFORMS"] = os.environ.get("EGOPACK_QUALITY_PLATFORM",
+                                                 "cpu")
     from egopack_tpu.utils.platform import apply_env_platform
     apply_env_platform()
     import tempfile

@@ -416,3 +416,97 @@ def test_fused_adam_driver_trajectory_and_resume(ego4d_root, tmp_path):
                     jax.tree_util.tree_leaves(fused["params"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_log_norms_last_matches_full_numerics():
+    """log_grad_norms="last": norms computed only on each group's last inner
+    step (a bandwidth lever — two full grad+param HBM passes per step become
+    1/spc). Params must stay BIT-identical to log_norms=True; loss logs stay
+    K-stacked; norm scalars come back unstacked."""
+    import jax
+
+    import __graft_entry__ as ge
+
+    feat_dim, hidden, spc = 16, 16, 3
+    active = ("ar", "oscc")
+    results = {}
+    for mode in (True, "last"):
+        system = ge._build_system(hidden, 16, feat_dim, tp_dropout=0.0)
+        params = system.init_params(jax.random.PRNGKey(0), feat_dim)
+        optimizer = topt.adam(1e-3, 1e-4)
+        opt_state = optimizer.init(params)
+        multi = system.make_train_step_multi(optimizer, active, spc,
+                                             log_norms=mode)
+        groups = tuple(
+            {k: v for k, v in ge._synthetic_batches(
+                system, 4, feat_dim, seed=s).items() if k in active}
+            for s in range(spc))
+        new_params, _, logs = multi(params, opt_state, groups,
+                                    jax.random.PRNGKey(7), 0, 1e-3)
+        results[mode] = (jax.tree_util.tree_map(np.asarray, new_params), logs)
+
+    full_p, full_logs = results[True]
+    last_p, last_logs = results["last"]
+    for a, b in zip(jax.tree_util.tree_leaves(full_p),
+                    jax.tree_util.tree_leaves(last_p)):
+        np.testing.assert_array_equal(a, b)
+    for t in active:  # losses stay K-stacked and identical
+        np.testing.assert_array_equal(np.asarray(full_logs[f"{t}_loss"]),
+                                      np.asarray(last_logs[f"{t}_loss"]))
+    assert np.asarray(last_logs["grad_norm"]).shape == ()  # unstacked scalar
+    assert np.asarray(full_logs["grad_norm"]).shape == (spc,)
+    # the scalar equals the full mode's LAST-step norm
+    np.testing.assert_allclose(np.asarray(last_logs["grad_norm"]),
+                               np.asarray(full_logs["grad_norm"])[-1],
+                               rtol=1e-6)
+
+
+def test_log_norms_last_matches_full_numerics_egopack():
+    """Same contract for the phase-2 EgoPack multi-step."""
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+    from egopack_tpu.models.graphone import GraphONE, PrototypeBank
+
+    feat_dim, hidden, spc = 16, 16, 3
+    aux = ("ar", "lta", "pnr")
+    results = {}
+    for mode in (True, "last"):
+        system = ge._build_system(hidden, 16, feat_dim, phase2=True,
+                                  tp_dropout=0.0)
+        params = system.init_params(jax.random.PRNGKey(0), feat_dim)
+        brng = np.random.default_rng(3)
+        banks = {t: PrototypeBank(
+            jnp.asarray(brng.normal(size=(128, hidden)).astype(np.float32)),
+            jnp.asarray(np.arange(128) < 40)) for t in aux}
+        graphone = GraphONE(task_labels=aux, features_size=hidden,
+                            hidden_size=hidden, k=2, depth=1, residual=True)
+        feats0 = {t: jnp.zeros((4, hidden)) for t in aux}
+        params["graphone"] = graphone.init(jax.random.PRNGKey(2), feats0,
+                                           banks, method="interact")["params"]
+        optimizer = topt.adam(1e-3, 1e-4)
+        opt_state = optimizer.init(params)
+        multi = system.make_egopack_train_step_multi(
+            optimizer, ("oscc",), graphone, spc,
+            backprop_temporal_graph=True, temporal_graph_train_mode=False,
+            late_fusion=True, log_norms=mode)
+        groups = tuple(
+            {"oscc": ge._synthetic_batches(system, 4, feat_dim,
+                                           seed=s)["oscc"]}
+            for s in range(spc))
+        new_params, _, logs = multi(params, opt_state, banks, groups,
+                                    jax.random.PRNGKey(7), 0, 1e-3)
+        results[mode] = (jax.tree_util.tree_map(np.asarray, new_params), logs)
+
+    full_p, full_logs = results[True]
+    last_p, last_logs = results["last"]
+    for a, b in zip(jax.tree_util.tree_leaves(full_p),
+                    jax.tree_util.tree_leaves(last_p)):
+        np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(np.asarray(full_logs["oscc_loss"]),
+                                  np.asarray(last_logs["oscc_loss"]))
+    assert np.asarray(last_logs["grad_norm"]).shape == ()
+    np.testing.assert_allclose(np.asarray(last_logs["grad_norm"]),
+                               np.asarray(full_logs["grad_norm"])[-1],
+                               rtol=1e-6)
