@@ -10,10 +10,9 @@ MTL line's 48 — so the fixed per-step costs (Adam HBM traffic over the same
 - spc8            deeper multi-step dispatch (measured 1.25x over spc4)
 - spc8_bf16       + optimizer.moments_dtype=bfloat16 (halved moment traffic;
                   opt-in, off the torch-parity table — see BASELINE.md)
-- spc16           deeper still (measured 1.083x over spc8 — now the bench
-                  line-2 default)
-- spc32           deeper still (line 1's spc32 measured 1.085x over its
-                  spc16; this arm answers the same question for line 2)
+- spc16           deeper still (measured 1.083x over spc8)
+- spc32           deeper still (measured 1.068x over spc16, round 4 — now
+                  the bench line-2 default; clears the 8x bar)
 
 Timing methodology (interleaved windows, true fetch-sync — the ROUND-2
 CORRECTION) lives in bench.run_interleaved_arms.
