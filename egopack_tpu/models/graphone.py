@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import logging
 import math
+import os
 from typing import Dict, Tuple
 
 import flax.linen as nn
@@ -161,7 +162,23 @@ class GraphONE(nn.Module):
         projects hidden→features (``output_projection`` is swallowed by the
         reference's ``**kwargs`` and has no effect there either)."""
         tasks = tuple(features.keys())
-        rows = jnp.asarray(self._task_rows(tasks))
+        rows_t = self._task_rows(tasks)
+        # In the production phase-2 step ``tasks`` IS ``task_labels`` in
+        # order, so the per-depth ``w[d][rows]`` task gather is the identity.
+        # Skipping it statically removes a gather + broadcast + grad-scatter
+        # over every (T, F, H) stage weight per depth per inner step — the
+        # xplane ledger (docs/ARCHITECTURE.md) attributed ~10% of phase-2
+        # device time to exactly these copy/slice families. Numerics are
+        # identical (tested); EGOPACK_FORCE_ROWS_GATHER=1 keeps the gather
+        # for same-process A/B measurement.
+        identity_rows = (not self.share_params
+                         and rows_t == tuple(range(len(self.task_labels)))
+                         and not os.environ.get("EGOPACK_FORCE_ROWS_GATHER"))
+        rows = None if identity_rows else jnp.asarray(rows_t)
+
+        def pick(w, d):
+            return w[d] if identity_rows else w[d][rows]
+
         f_stack = jnp.stack([features[t] for t in tasks])        # (T, M, F)
         bank_vals = jnp.stack([banks[t].values for t in tasks])  # (T, P, F)
         bank_mask = jnp.stack([banks[t].mask for t in tasks])    # (T, P)
@@ -176,8 +193,8 @@ class GraphONE(nn.Module):
 
         cur = f_stack
         for d in range(self.depth):
-            w_l = self.w_l[d][rows]        # (T, F, H)
-            w_r = self.w_r[d][rows]
+            w_l = pick(self.w_l, d)        # (T, F, H)
+            w_r = pick(self.w_r, d)
             agg = jnp.maximum(nb_max, cur)
             h = (jnp.einsum("tmf,tfh->tmh", agg, w_l,
                             preferred_element_type=jnp.float32)
@@ -186,12 +203,12 @@ class GraphONE(nn.Module):
             mean = h.mean(-1, keepdims=True)
             var = ((h - mean) ** 2).mean(-1, keepdims=True)
             h = (h - mean) * jax.lax.rsqrt(var + 1e-5)
-            h = h * self.ln_scale[d][rows][:, None] \
-                + self.ln_bias[d][rows][:, None]
+            h = h * pick(self.ln_scale, d)[:, None] \
+                + pick(self.ln_bias, d)[:, None]
             h = nn.relu(h)
-            out = jnp.einsum("tmh,thf->tmf", h, self.w_proj[d][rows],
+            out = jnp.einsum("tmh,thf->tmf", h, pick(self.w_proj, d),
                              preferred_element_type=jnp.float32) \
-                + self.b_proj[d][rows][:, None]
+                + pick(self.b_proj, d)[:, None]
             cur = out + cur if self.residual else out
 
         return ({t: cur[i] for i, t in enumerate(tasks)},

@@ -65,7 +65,36 @@ def aggregate_device_ops(xplane_path, top: int = 25):
         "top": [{"op": k, "ms": round(v / 1e6, 3),
                  "pct": round(100.0 * v / grand, 2)}
                 for k, v in ranked[:top]],
+        "families": _families(totals, grand),
     }
+
+
+_SHAPE = __import__("re").compile(r"= \(?([a-z0-9]+\[[0-9,]*\])")
+_BASE = __import__("re").compile(r"^%?([a-zA-Z_\-]+)")
+
+
+def _families(totals, grand, top: int = 20):
+    """Group per-op totals into readable families: base op name (index and
+    operand list stripped) + the op's FIRST output shape. A multi-step
+    program stamps one op per inner step per parameter group
+    (multiply_reduce_fusion.8/.32/.56... all the same Adam+norm update over
+    a f32[3,3,1024,1024] leaf) — per-name rows hide that the family is the
+    top sink; this view sums them."""
+    fams = {}
+    for name, ns in totals.items():
+        m = _SHAPE.search(name)
+        shape = m.group(1) if m else "?"
+        b = _BASE.match(name)
+        base = b.group(1) if b else name[:24]
+        key = f"{base} {shape}"
+        cur = fams.get(key, [0.0, 0])
+        cur[0] += ns
+        cur[1] += 1
+        fams[key] = cur
+    ranked = sorted(fams.items(), key=lambda kv: -kv[1][0])
+    return [{"family": k, "ms": round(v[0] / 1e6, 3), "ops": v[1],
+             "pct": round(100.0 * v[0] / grand, 2)}
+            for k, v in ranked[:top]]
 
 
 def main():
