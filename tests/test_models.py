@@ -244,6 +244,47 @@ def test_graphone_interact_shapes_and_residual():
     assert (np.asarray(closest["ar"]) < 10).all()
 
 
+def test_graphone_identity_rows_skip_bitwise_matches_gather(monkeypatch):
+    """The static identity-rows skip (round-4 ledger fix) is bitwise equal to
+    the forced ``w[d][rows]`` gather, and a task SUBSET (non-identity rows)
+    still routes through the gather and agrees with itself."""
+    tasks = ("ar", "lta", "oscc")
+    g = GraphONE(task_labels=tasks, features_size=8, hidden_size=8, k=2,
+                 depth=2, residual=True)
+    rng = np.random.default_rng(11)
+    feats = {t: jnp.asarray(rng.normal(size=(5, 8)), dtype=jnp.float32)
+             for t in tasks}
+    banks = {t: PrototypeBank(
+        jnp.asarray(rng.normal(size=(16, 8)), dtype=jnp.float32),
+        jnp.asarray([True] * 12 + [False] * 4)) for t in tasks}
+    params = g.init(jax.random.PRNGKey(2), feats, banks, method="interact")
+
+    monkeypatch.delenv("EGOPACK_FORCE_ROWS_GATHER", raising=False)
+    out_skip, close_skip = g.apply(params, feats, banks, method="interact")
+    monkeypatch.setenv("EGOPACK_FORCE_ROWS_GATHER", "1")
+    out_gather, close_gather = g.apply(params, feats, banks, method="interact")
+    for t in tasks:
+        np.testing.assert_array_equal(np.asarray(out_skip[t]),
+                                      np.asarray(out_gather[t]))
+        np.testing.assert_array_equal(np.asarray(close_skip[t]),
+                                      np.asarray(close_gather[t]))
+
+    # subset of tasks → rows != arange(T): gather path regardless of the env
+    sub_f = {"lta": feats["lta"]}
+    sub_b = {"lta": banks["lta"]}
+    out_sub_forced, _ = g.apply(params, sub_f, sub_b, method="interact")
+    monkeypatch.delenv("EGOPACK_FORCE_ROWS_GATHER", raising=False)
+    out_sub, _ = g.apply(params, sub_f, sub_b, method="interact")
+    np.testing.assert_array_equal(np.asarray(out_sub["lta"]),
+                                  np.asarray(out_sub_forced["lta"]))
+    # and it uses the lta row of the stage weights, not the ar row:
+    # same features fed under the FIRST task label must differ
+    out_as_ar, _ = g.apply(params, {"ar": feats["lta"]},
+                           {"ar": banks["lta"]}, method="interact")
+    assert not np.array_equal(np.asarray(out_sub["lta"]),
+                              np.asarray(out_as_ar["ar"]))
+
+
 def test_graphone_banks_get_no_gradient():
     g = GraphONE(task_labels=("ar",), features_size=4, hidden_size=4, k=1,
                  depth=1, freeze=True)
