@@ -231,12 +231,14 @@ def _env_log_norms():
 
 
 def build_egopack_step(spc: int, moments_dtype: str = "float32",
-                       log_norms="default"):
+                       log_norms="default", **graphone_kw):
     """Phase-2 hot-loop harness (novel-OSCC EgoPack step, 3 model-axis-
     shardable prototype banks P=2048, graphone depth 3 / k=8 —
     configs/defaults.yaml graphone block, backprop backbone, SURVEY §3.3;
     sized by the BENCH_FEAT_DIM/BENCH_HIDDEN smoke knobs).
-    Shared by the bench line below and scripts/bench_egopack_spc.py."""
+    Shared by the bench line below and scripts/bench_egopack_spc.py.
+    ``graphone_kw`` overrides GraphONE fields (knn_impl, force_rows_gather —
+    the A/B levers, which are part of the traced configuration)."""
     from egopack_tpu.models.graphone import GraphONE, PrototypeBank
     from egopack_tpu.train.driver import CKPT_KEYS, trainable_mask_fn
 
@@ -259,7 +261,8 @@ def build_egopack_step(spc: int, moments_dtype: str = "float32",
                                  (p_pad, hidden), jnp.float32)
         banks[t] = PrototypeBank(vals, jnp.arange(p_pad) < fill)
     graphone = GraphONE(task_labels=aux_tasks, features_size=hidden,
-                        hidden_size=hidden, k=8, depth=3, residual=False)
+                        hidden_size=hidden, k=8, depth=3, residual=False,
+                        **graphone_kw)
     feats0 = {t: jnp.zeros((4, hidden)) for t in aux_tasks}
     params["graphone"] = graphone.init(jax.random.PRNGKey(2), feats0, banks,
                                        method="interact")["params"]

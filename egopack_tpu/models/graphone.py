@@ -32,7 +32,7 @@ from __future__ import annotations
 import logging
 import math
 import os
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -47,6 +47,13 @@ logger = logging.getLogger(__name__)
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _env_flag(name: str) -> bool:
+    """Parse a debug env flag: '1'/'true'/'yes' (case-insensitive) are on;
+    '', '0', 'false' are off (a raw-truthiness check made ``FLAG=0`` force
+    the gather arm — advisor r4 finding)."""
+    return os.environ.get(name, "").strip().lower() in ("1", "true", "yes")
 
 
 @jax.tree_util.register_pytree_node_class
@@ -118,6 +125,14 @@ class GraphONE(nn.Module):
     mix_strategy: str = "max"
     update_edges_interval: int = 1
     share_params: bool = False
+    # k-NN backend: 'xla' (lax.top_k) | 'pallas' (streaming Mosaic kernel) |
+    # 'auto' (env EGOPACK_KNN_IMPL, default xla). A module attribute — part
+    # of the traced configuration — so two variants can coexist in one
+    # process for interleaved A/B (advisor r4: env reads at trace time are
+    # invisible to the jit cache).
+    knn_impl: str = "auto"
+    # None → env EGOPACK_FORCE_ROWS_GATHER (same trace-time rationale)
+    force_rows_gather: Optional[bool] = None
     # accepted-and-ignored reference cfg keys (see module docstring)
     dropout: float = 0.0
     output_dropout: float = 0.0
@@ -169,11 +184,14 @@ class GraphONE(nn.Module):
         # over every (T, F, H) stage weight per depth per inner step — the
         # xplane ledger (docs/ARCHITECTURE.md) attributed ~10% of phase-2
         # device time to exactly these copy/slice families. Numerics are
-        # identical (tested); EGOPACK_FORCE_ROWS_GATHER=1 keeps the gather
-        # for same-process A/B measurement.
+        # identical (tested, forward AND grads); force_rows_gather (or env
+        # EGOPACK_FORCE_ROWS_GATHER=1) keeps the gather for A/B measurement.
+        force_gather = self.force_rows_gather
+        if force_gather is None:
+            force_gather = _env_flag("EGOPACK_FORCE_ROWS_GATHER")
         identity_rows = (not self.share_params
                          and rows_t == tuple(range(len(self.task_labels)))
-                         and not os.environ.get("EGOPACK_FORCE_ROWS_GATHER"))
+                         and not force_gather)
         rows = None if identity_rows else jnp.asarray(rows_t)
 
         def pick(w, d):
@@ -185,8 +203,11 @@ class GraphONE(nn.Module):
         if self.freeze:
             bank_vals = jax.lax.stop_gradient(bank_vals)
 
-        idx, _ = jax.vmap(prototype_topk, in_axes=(0, 0, 0, None, None))(
-            f_stack, bank_vals, bank_mask, self.k, self.distance_func)
+        idx, _ = jax.vmap(
+            lambda f, b, m: prototype_topk(f, b, m, self.k,
+                                           self.distance_func,
+                                           impl=self.knn_impl))(
+            f_stack, bank_vals, bank_mask)
         neighbors = jax.vmap(lambda b, i: jnp.take(b, i, axis=0))(
             bank_vals, idx)                                      # (T, M, k, F)
         nb_max = neighbors.max(axis=2)                           # (T, M, F)

@@ -52,12 +52,19 @@ def prototype_topk(features: jax.Array, bank: jax.Array, bank_mask: jax.Array,
 
     ``impl``: 'xla' (lax.top_k over the fused distance matrix), 'pallas'
     (streaming Mosaic kernel, ops/pallas/knn_topk.py — never materializes the
-    (M, P) matrix in HBM), or 'auto' (env ``EGOPACK_KNN_IMPL``, default xla —
-    measured at parity on v5e at EgoPack sizes; pallas wins when M·P outgrows
-    VMEM-friendly fusion).
+    (M, P) matrix in HBM), or 'auto' (env ``EGOPACK_KNN_IMPL``; unset →
+    pallas on TPU, xla elsewhere). Measured on v5e (round 5,
+    scripts/bench_knn_pallas.py + BASELINE.md Pallas ledger): pallas wins the
+    FULL phase-2 production step 1.042× at the headline config (P=2048, the
+    trace's 6.0% `sort f32[3,64,2048]` family) and standalone 1.11× @ P=2048
+    / 1.36× @ 8192 / 2.57× @ 55040 (the full-taxonomy bound) — hence the TPU
+    default. Model-axis-SHARDED banks must use 'xla' (GSPMD partitions the
+    fused matmul+top_k but cannot partition a Mosaic custom call; the driver
+    pins knn_impl='xla' when mesh model > 1).
     """
     if impl == "auto":
-        impl = os.environ.get("EGOPACK_KNN_IMPL", "xla")
+        impl = os.environ.get("EGOPACK_KNN_IMPL") or (
+            "pallas" if jax.default_backend() == "tpu" else "xla")
     features = jax.lax.stop_gradient(features)
     bank = jax.lax.stop_gradient(bank)
     if impl == "pallas" and distance == "cosine":

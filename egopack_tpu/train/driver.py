@@ -572,9 +572,14 @@ def train_egopack(cfg) -> Dict[str, Any]:
                 aux_tasks, time.time() - t0,
                 next(iter(banks.values())).num_valid)
 
+    g_cfg = dict(to_container(cfg.graphone))
+    if mesh.shape["model"] > 1:
+        # sharded banks ride the GSPMD-partitioned XLA top-k (tested sharded
+        # == replicated); the Pallas kernel is a Mosaic custom call GSPMD
+        # cannot partition, so it only serves replicated banks
+        g_cfg.setdefault("knn_impl", "xla")
     graphone = GraphONE(task_labels=aux_tasks,
-                        features_size=cfg.model.hidden_size,
-                        **to_container(cfg.graphone))
+                        features_size=cfg.model.hidden_size, **g_cfg)
     feats0 = {t: jnp.zeros((4, cfg.model.hidden_size)) for t in aux_tasks}
     rng, g_rng = jax.random.split(rng)
     params["graphone"] = graphone.init(g_rng, feats0, banks,

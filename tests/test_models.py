@@ -285,6 +285,46 @@ def test_graphone_identity_rows_skip_bitwise_matches_gather(monkeypatch):
                               np.asarray(out_as_ar["ar"]))
 
 
+def test_graphone_identity_rows_skip_gradients_match_gather():
+    """Grad-path equality for the identity-rows skip (advisor r4): the
+    gather arm's grad-scatter over ``w[d][rows]`` must produce bitwise the
+    same parameter gradients as the direct ``w[d]`` arm. Uses the
+    ``force_rows_gather`` module attribute (part of the traced config, not a
+    trace-time env read)."""
+    tasks = ("ar", "lta", "oscc")
+    rng = np.random.default_rng(23)
+    feats = {t: jnp.asarray(rng.normal(size=(5, 8)), dtype=jnp.float32)
+             for t in tasks}
+    banks = {t: PrototypeBank(
+        jnp.asarray(rng.normal(size=(16, 8)), dtype=jnp.float32),
+        jnp.asarray([True] * 12 + [False] * 4)) for t in tasks}
+    g_skip = GraphONE(task_labels=tasks, features_size=8, hidden_size=8, k=2,
+                      depth=2, residual=True, force_rows_gather=False)
+    g_gather = g_skip.clone(force_rows_gather=True)
+    params = g_skip.init(jax.random.PRNGKey(2), feats, banks,
+                         method="interact")
+
+    def make_scalar(module):
+        def scalar(p, f):
+            out, _ = module.apply(p, f, banks, method="interact")
+            return sum((v * (i + 1)).sum()
+                       for i, v in enumerate(out.values()))
+        return scalar
+
+    g_p_skip, g_f_skip = jax.grad(make_scalar(g_skip), argnums=(0, 1))(
+        params, feats)
+    g_p_gat, g_f_gat = jax.grad(make_scalar(g_gather), argnums=(0, 1))(
+        params, feats)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_p_skip),
+            jax.tree_util.tree_leaves_with_path(g_p_gat)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(path))
+    for t in tasks:
+        np.testing.assert_array_equal(np.asarray(g_f_skip[t]),
+                                      np.asarray(g_f_gat[t]))
+
+
 def test_graphone_banks_get_no_gradient():
     g = GraphONE(task_labels=("ar",), features_size=4, hidden_size=4, k=1,
                  depth=1, freeze=True)
