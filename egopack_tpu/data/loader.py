@@ -112,9 +112,17 @@ class DataLoader:
                & 0xFFFFFFFFFFFFFFFF)
         return np.random.Generator(np.random.Philox(key=[mix, int(idx)]))
 
-    def _produce(self, pass_idx: int) -> Iterator[Dict[str, Any]]:
+    def _produce(self, pass_idx: int,
+                 stride: Optional[tuple] = None) -> Iterator[Dict[str, Any]]:
+        """``stride=(w, W)`` yields only batches ``k`` with ``k % W == w`` —
+        the round-robin split worker-pool processes use. Batch content is
+        position-independent (the index schedule is global and the
+        augmentation rng is keyed by global dataset index), so W strided
+        producers interleave into the exact single-producer stream."""
         local_bs = self.batch_size
-        for idxs in self._index_batches(pass_idx):
+        for k, idxs in enumerate(self._index_batches(pass_idx)):
+            if stride is not None and k % stride[1] != stride[0]:
+                continue
             if self.process_shard is not None:
                 pid, count = self.process_shard
                 per = self.batch_size // count
@@ -183,14 +191,120 @@ class DataLoader:
             stop.set()
 
 
+def _pool_worker(loader: "DataLoader", wid: int, nworkers: int,
+                 cmd_q, out_q) -> None:
+    """Worker-process loop: produce this worker's round-robin share of each
+    requested pass. Pure numpy — never touches jax. Runs until the ``None``
+    shutdown sentinel (or parent exit; workers are daemonic)."""
+    while True:
+        msg = cmd_q.get()
+        if msg is None:
+            return
+        gen, epoch, pass_idx = msg
+        loader._epoch = epoch
+        for b in loader._produce(pass_idx, stride=(wid, nworkers)):
+            out_q.put((gen, b))
+
+
+class WorkerPoolLoader:
+    """Multi-process batch production: N forked workers each materialize
+    WHOLE batches round-robin (worker w owns batches ``k % N == w``) and the
+    consumer interleaves their queues back into the global order.
+
+    The stream is bitwise-identical to the single-process ``DataLoader``
+    by construction: the index schedule is computed from (seed, epoch, pass)
+    identically everywhere, and the augmentation rng is keyed by GLOBAL
+    dataset index (``_sample_rng``) — the same property that makes multihost
+    ``process_shard`` streams exact. This is the process-pool answer to the
+    reference's ``num_workers`` DataLoader processes
+    (/root/reference/utils/dataloading.py:56-70), which its GIL-bound
+    Python ``get()`` needs just as much as ours does.
+
+    Abandoned iterations (MultiLoader wraparound abandons exhausted-loader
+    iterators mid-pass) are handled with a generation counter: stale items
+    are drained and dropped by the next iteration.
+    """
+
+    def __init__(self, loader: DataLoader, num_workers: int):
+        import multiprocessing as mp
+        assert num_workers > 0
+        self.loader = loader
+        self.num_workers = num_workers
+        # fork: datasets hold open memmaps that must be inherited, not
+        # pickled; workers only run numpy (no jax state is ever touched)
+        self._ctx = mp.get_context("fork")
+        self._gen = 0
+        self._cmd_qs: list = []
+        self._out_qs: list = []
+        self._procs: list = []
+
+    # -- DataLoader-compatible surface --
+    def __len__(self) -> int:
+        return len(self.loader)
+
+    def set_epoch(self, epoch: int) -> None:
+        self.loader.set_epoch(epoch)
+
+    @property
+    def dataset(self) -> BaseDataset:
+        return self.loader.dataset
+
+    def _start(self) -> None:
+        for w in range(self.num_workers):
+            cq = self._ctx.Queue()
+            oq = self._ctx.Queue(maxsize=max(2, self.loader.prefetch))
+            p = self._ctx.Process(
+                target=_pool_worker,
+                args=(self.loader, w, self.num_workers, cq, oq), daemon=True)
+            p.start()
+            self._cmd_qs.append(cq)
+            self._out_qs.append(oq)
+            self._procs.append(p)
+
+    def close(self) -> None:
+        for cq in self._cmd_qs:
+            try:
+                cq.put(None)
+            except (ValueError, OSError):
+                pass
+        for p in self._procs:
+            p.join(timeout=5)
+            if p.is_alive():
+                p.terminate()
+        self._procs, self._cmd_qs, self._out_qs = [], [], []
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        if not self._procs:
+            self._start()
+        pass_idx = self.loader._pass
+        self.loader._pass += 1
+        self._gen += 1
+        gen = self._gen
+        for cq in self._cmd_qs:
+            cq.put((gen, self.loader._epoch, pass_idx))
+        for k in range(len(self.loader)):
+            oq = self._out_qs[k % self.num_workers]
+            while True:
+                g, item = oq.get()
+                if g == gen:  # drop items from abandoned passes
+                    break
+            yield item
+
+
 def build_dataloader(dataset: BaseDataset, batch_size: int, shuffle: bool,
                      num_workers: int, drop_last: bool, seed: int = 0,
-                     process_shard: Optional[tuple] = None) -> DataLoader:
+                     process_shard: Optional[tuple] = None,
+                     worker_processes: int = 0):
     """Signature-compatible with the reference builder; ``num_workers`` maps to
-    prefetch depth (threading model, not process workers)."""
-    return DataLoader(dataset, batch_size, shuffle, drop_last, seed,
-                      prefetch=max(2, num_workers),
-                      process_shard=process_shard)
+    prefetch depth (threading model). ``worker_processes>0`` adds a
+    round-robin process pool on top (``WorkerPoolLoader``) — the stream is
+    bitwise-identical either way (tested)."""
+    loader = DataLoader(dataset, batch_size, shuffle, drop_last, seed,
+                        prefetch=max(2, num_workers),
+                        process_shard=process_shard)
+    if worker_processes > 0:
+        return WorkerPoolLoader(loader, worker_processes)
+    return loader
 
 
 class MultiLoader:

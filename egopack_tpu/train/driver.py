@@ -85,12 +85,14 @@ def build_datasets(cfg) -> Dict[str, Dict[str, Any]]:
         val = instantiate(dcfg, split=cfg.validation_split)
         out[name] = {
             "train": train, "val": val,
-            "dl_train": build_dataloader(train, cfg.batch_size, True,
-                                         cfg.num_workers, True, seed=cfg.seed,
-                                         process_shard=shard),
-            "dl_val": build_dataloader(val, cfg.batch_size, False,
-                                       cfg.num_workers, False, seed=cfg.seed,
-                                       process_shard=shard),
+            "dl_train": build_dataloader(
+                train, cfg.batch_size, True, cfg.num_workers, True,
+                seed=cfg.seed, process_shard=shard,
+                worker_processes=cfg.get("loader_processes", 0)),
+            "dl_val": build_dataloader(
+                val, cfg.batch_size, False, cfg.num_workers, False,
+                seed=cfg.seed, process_shard=shard,
+                worker_processes=cfg.get("loader_processes", 0)),
         }
     sizes = {n: d["train"].features_size for n, d in out.items()}
     assert len(set(sizes.values())) == 1, \

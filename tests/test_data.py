@@ -312,3 +312,77 @@ def test_multiloader_zero_batch_loader_ends_epoch(ego4d_root):
     ml = MultiLoader([full, empty], [1.0, 1.0])
     steps = list(ml)  # must not raise
     assert steps == [] or all(len(s) == 2 for s in steps)
+
+
+# --- worker-process pool (round-robin whole batches, bitwise-same stream) ---
+
+def _stream_arrays(loader, n_passes=1):
+    out = []
+    for _ in range(n_passes):
+        for b in loader:
+            out.append({k: (np.asarray(v).copy() if k != "uid" else v)
+                        for k, v in b.items()})
+    return out
+
+
+def test_worker_pool_stream_bitwise_matches_single_process(ego4d_root):
+    """WorkerPoolLoader (2 forked producers) streams the EXACT batches of the
+    in-process loader: shuffled train passes including a wraparound
+    re-iteration, and the val tail-padded partial batch."""
+    ds = Ego4dOSCCDataset("train", num_segments=3, root=ego4d_root,
+                          aug_prob=0.5)  # augmentations exercise _sample_rng
+    ref = build_dataloader(ds, 4, True, 0, True, seed=7)
+    pool = build_dataloader(ds, 4, True, 0, True, seed=7, worker_processes=2)
+    try:
+        ref.set_epoch(3)
+        pool.set_epoch(3)
+        a = _stream_arrays(ref, n_passes=2)   # pass 0 + wraparound pass 1
+        b = _stream_arrays(pool, n_passes=2)
+        assert len(a) == len(b) and len(a) > 0
+        for x, y in zip(a, b):
+            assert x.keys() == y.keys()
+            for k in x:
+                np.testing.assert_array_equal(x[k], y[k], err_msg=k)
+
+        # val: padded partial final batch, no shuffle
+        val = Ego4dOSCCDataset("val", num_segments=3, root=ego4d_root,
+                               aug_prob=0)
+        ref_v = build_dataloader(val, 5, False, 0, False, seed=7)
+        pool_v = build_dataloader(val, 5, False, 0, False, seed=7,
+                                  worker_processes=3)
+        try:
+            av = _stream_arrays(ref_v)
+            bv = _stream_arrays(pool_v)
+            assert len(av) == len(bv) and len(av) > 0
+            for x, y in zip(av, bv):
+                for k in x:
+                    np.testing.assert_array_equal(x[k], y[k], err_msg=k)
+        finally:
+            pool_v.close()
+    finally:
+        pool.close()
+
+
+def test_worker_pool_abandoned_pass_recovers(ego4d_root):
+    """MultiLoader wraparound abandons iterators mid-pass; the pool's next
+    iteration must discard the stale generation and resync exactly."""
+    ds = Ego4dOSCCDataset("train", num_segments=3, root=ego4d_root, aug_prob=0)
+    ref = build_dataloader(ds, 4, True, 0, True, seed=5)
+    pool = build_dataloader(ds, 4, True, 0, True, seed=5, worker_processes=2)
+    try:
+        ref.set_epoch(1)
+        pool.set_epoch(1)
+        it = iter(pool)
+        next(it)  # consume one batch, abandon the rest of pass 0
+        ref_it = iter(ref)
+        next(ref_it)
+        # pass 1 streams identically on both
+        b_pool = [dict(b) for b in pool]
+        b_ref = [dict(b) for b in ref]
+        assert len(b_pool) == len(b_ref) > 0
+        for x, y in zip(b_ref, b_pool):
+            for k in x:
+                np.testing.assert_array_equal(np.asarray(x[k]),
+                                              np.asarray(y[k]), err_msg=k)
+    finally:
+        pool.close()
