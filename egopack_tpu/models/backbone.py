@@ -35,6 +35,11 @@ class TemporalGraph(nn.Module):
     pre_dropout: float = 0.0
     temporal_pooling: Optional[Any] = None  # config node or linen module
     num_segments: int = 8
+    # None (default, reference-parity numerics): bf16 matmul inputs with f32
+    # activations between layers. jnp.bfloat16: FULL activation propagation
+    # through pooling + GNN — an opt-in bandwidth lever like
+    # optimizer.moments_dtype; measured per batch size in BASELINE.md.
+    propagate_dtype: Optional[Any] = None
 
     def setup(self):
         tp = self.temporal_pooling
@@ -44,15 +49,18 @@ class TemporalGraph(nn.Module):
             # hydra-style: instantiate(cfg, input_size, hidden_size, num_segments)
             # (/root/reference/models/graph.py:33)
             tp = instantiate(tp, self.input_size, self.hidden_size,
-                             self.num_segments)
+                             self.num_segments, dtype=self.propagate_dtype)
         elif tp is None:
-            tp = TRNPooling(self.input_size, self.hidden_size, self.num_segments)
+            tp = TRNPooling(self.input_size, self.hidden_size,
+                            self.num_segments, dtype=self.propagate_dtype)
         self.pooling = tp
         self.pre_drop = nn.Dropout(self.pre_dropout)
         self.convs = [DenseSAGEConv(self.hidden_size, aggr="mean", project=True,
+                                    dtype=self.propagate_dtype,
                                     name=f"sage{i}") for i in range(self.depth)]
         self.norms = [GraphLayerNorm(name=f"gn{i}") for i in range(self.depth)]
-        self.out_lin = TLinear(self.hidden_size, name="out_lin")
+        self.out_lin = TLinear(self.hidden_size, dtype=self.propagate_dtype,
+                               name="out_lin")
 
     def pool(self, x: jax.Array, train: bool = False) -> jax.Array:
         """Pre-dropout + temporal pooling: (B, N, S, D) → (B, N, H).
@@ -70,7 +78,7 @@ class TemporalGraph(nn.Module):
         global residual (/root/reference/models/graph.py:60-63)."""
         if self.depth <= 0:
             return h
-        pe = positional_encoding(pos, self.hidden_size)
+        pe = positional_encoding(pos, self.hidden_size).astype(h.dtype)
         z = h + pe if pe.ndim == h.ndim else h + pe[None]
         for conv, norm in zip(self.convs, self.norms):
             z = conv(z, adj)
@@ -87,7 +95,7 @@ class TemporalGraph(nn.Module):
         identical to calling ``reason`` per task."""
         if self.depth <= 0:
             return list(hs)
-        zs = [h + positional_encoding(p, self.hidden_size)[None]
+        zs = [h + positional_encoding(p, self.hidden_size).astype(h.dtype)[None]
               for h, p in zip(hs, poss)]
         for conv, norm in zip(self.convs, self.norms):
             zs = conv.multi(zs, adjs)
@@ -101,6 +109,28 @@ class TemporalGraph(nn.Module):
             outs.append(h + out_flat[0, off:off + b * n].reshape(b, n, -1))
             off += b * n
         return outs
+
+    def reason_concat(self, h: jax.Array, adj_cc: jax.Array, pos_cc: jax.Array,
+                      mask_cc: jax.Array, task_onehot: jax.Array,
+                      train: bool = False) -> jax.Array:
+        """Graph reasoning over the CONCATENATED node set of several task
+        branches — the zero-slice alternative to ``reason_multi``: the whole
+        stack (PE add, SAGE convs, graph-LN, output Linear, residual) runs on
+        one ``(1, M, H)`` layout, with block-diagonal aggregation
+        (``DenseSAGEConv.concat``) and task-onehot LN statistics. The per-task
+        split happens ONCE, in the caller, after the final residual.
+
+        h (1, M, H); adj_cc (M, M) bool; pos_cc (M,); mask_cc (M,) bool;
+        task_onehot (T, M) float."""
+        if self.depth <= 0:
+            return h
+        z = h + positional_encoding(pos_cc,
+                                    self.hidden_size).astype(h.dtype)[None]
+        for conv, norm in zip(self.convs, self.norms):
+            z = conv.concat(z, adj_cc)
+            z = norm(z, mask_cc, task_onehot)
+            z = nn.leaky_relu(z, negative_slope=0.2)
+        return h + self.out_lin(z)
 
     def __call__(self, x: jax.Array, adj: jax.Array, pos: jax.Array,
                  node_mask: Optional[jax.Array] = None,

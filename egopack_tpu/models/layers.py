@@ -90,12 +90,28 @@ class GraphLayerNorm(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: jax.Array, node_mask: Optional[jax.Array] = None) -> jax.Array:
+    def __call__(self, x: jax.Array, node_mask: Optional[jax.Array] = None,
+                 task_onehot: Optional[jax.Array] = None) -> jax.Array:
+        """Graph-mode LN. With ``task_onehot (T, M)`` the input is the
+        CONCATENATED layout ``x (1, M, H)`` holding several tasks' node sets
+        stacked on the node axis; each task gets its own whole-tensor masked
+        statistics (the same two-pass mean/var as the per-task path) without
+        slicing the layout — per-task reductions ride two tiny ``(T, M)``
+        matmuls (the fused-layout design, docs/ARCHITECTURE.md)."""
         dim = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
         x32 = x.astype(jnp.float32)
-        if node_mask is None:
+        if task_onehot is not None:
+            m = node_mask.astype(jnp.float32)  # (M,)
+            cnt = jnp.maximum(task_onehot @ m * dim, 1.0)          # (T,)
+            row_sum = (x32[0] * m[:, None]).sum(-1)                # (M,)
+            mean_t = (task_onehot @ row_sum) / cnt                 # (T,)
+            mean = (task_onehot.T @ mean_t)[None, :, None]         # (1, M, 1)
+            row_var = (((x32 - mean) ** 2)[0] * m[:, None]).sum(-1)
+            var_t = (task_onehot @ row_var) / cnt
+            var = (task_onehot.T @ var_t)[None, :, None]
+        elif node_mask is None:
             mean = x32.mean()
             var = ((x32 - mean) ** 2).mean()
         else:
@@ -128,13 +144,20 @@ class DenseSAGEConv(nn.Module):
     aggr: str = "mean"
     project: bool = False
     use_bias: bool = True
+    # None: bf16-inputs/f32-activations mixed precision (TLinear policy).
+    # jnp.bfloat16: FULL activation propagation — outputs stay bf16 between
+    # layers (halves inter-layer HBM traffic; an opt-in non-parity lever,
+    # measured in BASELINE.md "bf16 propagation").
+    dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         if self.project:
-            self.lin_project = TLinear(self.features, name="lin_project")
+            self.lin_project = TLinear(self.features, dtype=self.dtype,
+                                       name="lin_project")
         self.lin_l = TLinear(self.features, use_bias=self.use_bias,
-                             name="lin_l")
-        self.lin_r = TLinear(self.features, use_bias=False, name="lin_r")
+                             dtype=self.dtype, name="lin_l")
+        self.lin_r = TLinear(self.features, use_bias=False, dtype=self.dtype,
+                             name="lin_r")
 
     def _aggregate(self, msg: jax.Array, adj: jax.Array) -> jax.Array:
         if adj.ndim == 2:
@@ -161,6 +184,25 @@ class DenseSAGEConv(nn.Module):
         # and was removed — see docs/ARCHITECTURE.md "Pallas ledger".
         msg = nn.relu(self.lin_project(x)) if self.project else x
         agg = self._aggregate(msg, adj)
+        return self.lin_l(agg) + self.lin_r(x)
+
+    def concat(self, x: jax.Array, adj: jax.Array) -> jax.Array:
+        """Concatenated-layout variant: ``x (1, M, H)`` stacks every task's
+        node set; ``adj (M, M)`` is the block-diagonal in-neighbor mask over
+        the whole concatenated set (blocks = one per (task, sample)). The
+        aggregation is ONE MXU-shaped (M, M)·(M, H) matmul instead of T
+        batched tiny-N einsums, and no slice/concat boundary exists anywhere
+        in the layer (the `slice-done` family in the MTL trace ledger).
+        Mean aggregation only (the backbone's config)."""
+        if self.aggr != "mean":
+            raise NotImplementedError("concat layout supports mean aggr")
+        msg = nn.relu(self.lin_project(x)) if self.project else x
+        a = adj.astype(msg.dtype)                       # (M, M)
+        deg = jnp.maximum(a.sum(-1, keepdims=True), 1.0)
+        agg = (jnp.einsum("ts,bsh->bth", a, msg,
+                          preferred_element_type=jnp.float32)
+               .astype(msg.dtype) / deg)
+        agg = jnp.where(adj.any(-1)[None, :, None], agg, 0.0)
         return self.lin_l(agg) + self.lin_r(x)
 
     def multi(self, xs, adjs):

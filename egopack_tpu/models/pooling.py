@@ -25,6 +25,9 @@ class TemporalPooling(nn.Module):
     output_size: int
     num_segments: int
     encoding: Optional[str] = None  # 'positional' | 'temporal' | 'learnt' | None
+    # None: mixed precision (bf16 matmul inputs, f32 activations).
+    # jnp.bfloat16: full activation propagation (see layers.DenseSAGEConv)
+    dtype: Optional[jnp.dtype] = None
 
     def apply_encoding(self, x: jax.Array) -> jax.Array:
         # x: (B, N, S, D) — frame-level encoding over the S axis
@@ -66,8 +69,8 @@ class TRNPooling(TemporalPooling):
             f"got (*, {s}, {d})")
         h = x.reshape(b, n, s * d)
         for i in range(2):
-            h = TLinear(self.hidden_size, name=f"fc{i}")(h)
+            h = TLinear(self.hidden_size, dtype=self.dtype, name=f"fc{i}")(h)
             h = LayerNorm(name=f"ln{i}")(h)
             h = nn.relu(h)
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        return TLinear(self.output_size, name="fc_out")(h)
+        return TLinear(self.output_size, dtype=self.dtype, name="fc_out")(h)

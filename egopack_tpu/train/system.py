@@ -145,10 +145,40 @@ class MultiTaskSystem:
     """Owns the backbone + heads and builds the fused jitted steps."""
 
     def __init__(self, backbone: TemporalGraph, tasks: Dict[str, TaskSetup],
-                 compute_dtype: jnp.dtype = jnp.float32):
+                 compute_dtype: jnp.dtype = jnp.float32,
+                 fused_layout: Optional[str] = None):
         self.backbone = backbone
         self.tasks = tasks
         self.compute_dtype = compute_dtype
+        # "slice": pool fused, then re-slice per task for graph reasoning
+        # (reason_multi). "concat": keep the concatenated node set through
+        # the WHOLE reason stack — block-diagonal aggregation + task-onehot
+        # LN — slicing once at the heads (kills the trace ledger's
+        # fusion-boundary `slice-done` family; see docs/ARCHITECTURE.md).
+        # "auto" (default): pick by concatenated node count — measured
+        # crossover in BASELINE.md "Fused-layout A/B" (concat 1.065× at
+        # M=752 where the step is Adam-HBM-bound and the block-diagonal
+        # matmul rides the idle MXU; 0.81× at M=6016 where its O(M²) FLOPs
+        # hit a compute-bound step). None → env EGOPACK_FUSED_LAYOUT
+        # (resolved here at build time, a plumbed attribute thereafter).
+        if fused_layout is None:
+            import os
+            fused_layout = os.environ.get("EGOPACK_FUSED_LAYOUT", "auto")
+        self.fused_layout = fused_layout
+
+    # Auto-policy crossover: concat measured 1.065× at M=752 and 0.815× at
+    # M=6016 (same chip, interleaved A/B — BASELINE.md). The block-diagonal
+    # aggregation costs O(M²·H) FLOPs vs the slice layout's O(Σ b·n²·H), so
+    # the win shrinks as M grows; 1024 keeps the measured-win regime (all
+    # reference batch-16/32 configs) on concat without extrapolating into
+    # the measured-loss regime.
+    CONCAT_AUTO_MAX_NODES = 1024
+
+    def _resolve_layout(self, total_nodes: int) -> str:
+        if self.fused_layout == "auto":
+            return ("concat" if total_nodes <= self.CONCAT_AUTO_MAX_NODES
+                    else "slice")
+        return self.fused_layout
 
     # ---------------- initialization ----------------
     def init_params(self, rng: jax.Array, feature_dim: int) -> Dict[str, Any]:
@@ -244,13 +274,74 @@ class MultiTaskSystem:
             return lta_full_adjacency(base_adj, y, setup.spec.radius)
         return base_adj
 
+    def _concat_static(self, metas):
+        """Host-precomputed constants for the concat fused layout: per-row
+        task/sample/node ids, the STATIC part of the block-diagonal adjacency
+        (every task's base radius graph; LTA's dynamic forecast edges are
+        added on device), the same-(task, sample) pair mask, the task-onehot
+        assignment and the concatenated node positions. All shapes are
+        static per (names, batch) signature, so this runs once per trace."""
+        import numpy as np
+        tid, sid, nid, pos_cc = [], [], [], []
+        for ti, (name, b, n) in enumerate(metas):
+            tid.append(np.full(b * n, ti, np.int32))
+            sid.append(np.repeat(np.arange(b, dtype=np.int32), n))
+            nid.append(np.tile(np.arange(n, dtype=np.int32), b))
+            pos_cc.append(np.tile(np.asarray(self.tasks[name].spec.pos), b))
+        tid, sid, nid = map(np.concatenate, (tid, sid, nid))
+        pos_cc = np.concatenate(pos_cc)
+        same = (tid[:, None] == tid[None]) & (sid[:, None] == sid[None])
+        static_adj = np.zeros((tid.size, tid.size), bool)
+        off = 0
+        for ti, (name, b, n) in enumerate(metas):
+            a = np.asarray(self.tasks[name].spec.adjacency)
+            sel = slice(off, off + b * n)
+            static_adj[sel, sel] = (same[sel, sel]
+                                    & a[nid[sel][:, None], nid[sel][None, :]])
+            off += b * n
+        onehot = (tid[None, :] == np.arange(len(metas),
+                                            dtype=np.int32)[:, None])
+        return tid, sid, nid, static_adj, same, onehot.astype(np.float32), \
+            pos_cc
+
+    def _concat_adjacency(self, metas, batches, static_adj, same, tid, sid,
+                          nid) -> jax.Array:
+        """Block-diagonal in-neighbor mask over the concatenated node set:
+        the static base graphs plus each LTA-style task's y-dependent
+        forecast edges (lta_full_adjacency semantics, rephrased as
+        elementwise conditions over per-row vectors — no scatter)."""
+        adj = jnp.asarray(static_adj)
+        sid_j, nid_j = jnp.asarray(sid), jnp.asarray(nid)
+        same_j = None
+        for ti, (name, b, n) in enumerate(metas):
+            spec = self.tasks[name].spec
+            if not spec.lta_extra:
+                continue
+            if same_j is None:
+                same_j = jnp.asarray(same)
+            verb = batches[name]["y"][..., 0]           # (b, n)
+            ni = (verb == -1).sum(axis=1)               # (b,)
+            nf = (verb > 0).sum(axis=1)
+            is_t = jnp.asarray(tid == ti)               # (M,) static
+            ni_r = ni[sid_j]                            # (M,)
+            nf_r = nf[sid_j]
+            src_lo = jnp.ceil(ni_r - spec.radius).astype(jnp.int32)
+            src_ok = is_t & (nid_j >= jnp.maximum(src_lo, 0)) & (nid_j < ni_r)
+            fc = is_t & (nid_j >= ni_r) & (nid_j < ni_r + nf_r)
+            adj = adj | (fc[:, None] & src_ok[None, :] & same_j)
+        return adj
+
     def fused_backbone_features(self, params, batches, names, train: bool,
                                 rng: Optional[jax.Array]):
         """Pool the node sets of ALL task branches in ONE matmul, then run
         per-task graph reasoning. Numerics-preserving (pooling is per-node);
         this turns 3-4 small (B·N, S·D) matmuls into one large one on the MXU.
         Requires every task to share (S, D) — true for all reference configs
-        (num_segments=3 everywhere; PNR repeats frames 3×)."""
+        (num_segments=3 everywhere; PNR repeats frames 3×).
+
+        ``fused_layout="concat"`` keeps the concatenated layout through the
+        whole reason stack (TemporalGraph.reason_concat) and slices per task
+        exactly once, here, after the final residual."""
         xs, metas = [], []
         for name in names:
             x = self.expand_x(name, batches[name]["x"]).astype(
@@ -263,15 +354,32 @@ class MultiTaskSystem:
         h_all = self.backbone.apply({"params": params["temporal_graph"]},
                                     x_all, train=train, rngs=rngs,
                                     method="pool")[0]
-        hs, adjs, poss, masks = [], [], [], []
+        masks = [jnp.broadcast_to(batches[name]["valid"][:, None], (b, n))
+                 for name, b, n in metas]
+        layout = self._resolve_layout(sum(b * n for _, b, n in metas))
+        if layout == "concat":
+            tid, sid, nid, static_adj, same, onehot, pos_cc = \
+                self._concat_static(metas)
+            adj_cc = self._concat_adjacency(metas, batches, static_adj, same,
+                                            tid, sid, nid)
+            mask_cc = jnp.concatenate([m.reshape(-1) for m in masks])
+            feats_cc = self.backbone.apply(
+                {"params": params["temporal_graph"]}, h_all[None], adj_cc,
+                jnp.asarray(pos_cc), mask_cc, jnp.asarray(onehot),
+                train=train, rngs=rngs, method="reason_concat")
+            out, off = {}, 0
+            for (name, b, n), mask in zip(metas, masks):
+                feat = feats_cc[0, off:off + b * n].reshape(b, n, -1)
+                out[name] = (feat.astype(jnp.float32), mask)
+                off += b * n
+            return out
+        hs, adjs, poss = [], [], []
         off = 0
         for name, b, n in metas:
             hs.append(h_all[off:off + b * n].reshape(b, n, -1))
             off += b * n
             adjs.append(self._task_adj(name, batches[name]["y"]))
             poss.append(jnp.asarray(self.tasks[name].spec.pos))
-            masks.append(jnp.broadcast_to(batches[name]["valid"][:, None],
-                                          (b, n)))
         feats = self.backbone.apply(
             {"params": params["temporal_graph"]}, hs, adjs, poss, masks,
             train=train, rngs=rngs, method="reason_multi")

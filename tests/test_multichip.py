@@ -80,6 +80,89 @@ def test_fused_multitask_forward_matches_per_task():
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_concat_fused_layout_matches_per_task():
+    """fused_layout='concat' (block-diagonal aggregation + task-onehot LN,
+    zero per-layer slices) == the per-task backbone forward — including the
+    LTA dynamic forecast adjacency and invalid-sample masks."""
+    import jax.numpy as jnp
+
+    feat_dim, hidden = 16, 16
+    system = ge._build_system(hidden, 16, feat_dim)
+    params = system.init_params(jax.random.PRNGKey(0), feat_dim)
+    batches = ge._synthetic_batches(system, 4, feat_dim, seed=5)
+    # exercise the masked LN statistics: last sample invalid on two tasks
+    for name in ("ar", "lta"):
+        v = np.asarray(batches[name]["valid"]).copy()
+        v[-1] = False
+        batches[name]["valid"] = jnp.asarray(v)
+    active = ("ar", "oscc", "lta", "pnr")
+
+    system.fused_layout = "concat"
+    fused = system.fused_backbone_features(params, batches, active,
+                                           train=False, rng=None)
+    for name in active:
+        ref, _ = system.backbone_features(params, batches[name], name,
+                                          train=False, rng=None)
+        np.testing.assert_allclose(np.asarray(fused[name][0]),
+                                   np.asarray(ref), rtol=1e-5, atol=1e-5,
+                                   err_msg=name)
+
+
+def test_fused_layout_auto_policy(monkeypatch):
+    """Default layout is 'auto': concat at/below the measured-win node count
+    (M=752 → 1.065×, BASELINE.md), slice above the crossover constant
+    (M=6016 measured 0.815×). Explicit layouts pass through untouched."""
+    monkeypatch.delenv("EGOPACK_FUSED_LAYOUT", raising=False)
+    system = ge._build_system(8, 8, 8)
+    assert system.fused_layout == "auto"
+    assert system._resolve_layout(752) == "concat"
+    assert system._resolve_layout(system.CONCAT_AUTO_MAX_NODES) == "concat"
+    assert system._resolve_layout(system.CONCAT_AUTO_MAX_NODES + 1) == "slice"
+    assert system._resolve_layout(6016) == "slice"
+    system.fused_layout = "slice"
+    assert system._resolve_layout(16) == "slice"
+    monkeypatch.setenv("EGOPACK_FUSED_LAYOUT", "concat")
+    assert ge._build_system(8, 8, 8).fused_layout == "concat"
+
+
+def test_concat_fused_layout_train_step_matches_slice_layout():
+    """One optimizer step at fused_layout='concat' matches the 'slice'
+    layout (losses and updated params) within fp reassociation tolerance —
+    the layouts reduce in different orders, so bitwise is not expected."""
+    import jax.numpy as jnp
+    from egopack_tpu.parallel import mesh as pmesh
+    from egopack_tpu.train import optim as topt
+
+    feat_dim, hidden = 16, 16
+    active = ("ar", "lta", "pnr")
+    results = {}
+    for layout in ("slice", "concat"):
+        system = ge._build_system(hidden, 16, feat_dim)
+        system.fused_layout = layout
+        params = system.init_params(jax.random.PRNGKey(0), feat_dim)
+        mesh = pmesh.make_mesh(1, 1)
+        params = pmesh.place_params(params, mesh)
+        opt = topt.adam(1e-3, 1e-5)
+        opt_state = topt.init_opt_state(opt, params, mesh)
+        step = system.make_train_step(opt, active)
+        batches = {n: pmesh.shard_batch(dict(b), mesh)
+                   for n, b in ge._synthetic_batches(
+                       system, 4, feat_dim, seed=7).items() if n in active}
+        p, _, logs = step(params, opt_state, batches, jax.random.PRNGKey(3),
+                          1e-3)
+        results[layout] = (jax.tree_util.tree_map(np.asarray, p),
+                           {k: float(v) for k, v in logs.items()})
+    for k in results["slice"][1]:
+        np.testing.assert_allclose(results["slice"][1][k],
+                                   results["concat"][1][k],
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(results["slice"][0]),
+            jax.tree_util.tree_leaves_with_path(results["concat"][0])):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6,
+                                   err_msg=str(pa))
+
+
 def test_multi_step_bitwise_matches_sequential():
     """steps_per_call=K fused dispatch == K sequential dispatches, bitwise,
     given the same per-step rng derivation."""
