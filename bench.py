@@ -150,32 +150,84 @@ def run_interleaved_arms(arms, steps: int = 8, windows: int = None):
     return out
 
 
-def _report(metric: str, clips: int, elapsed: float, mesh, denominator: float):
+# bf16 peak matmul throughput per chip, for the MFU field. v5e: 197 TF/s
+# (public spec). Extend per device kind; BENCH_PEAK_TFLOPS overrides.
+PEAK_TFLOPS_BY_KIND = {"TPU v5 lite": 197.0, "TPU v5e": 197.0,
+                       "TPU v4": 275.0, "TPU v6 lite": 918.0}
+
+
+def _peak_tflops():
+    env = os.environ.get("BENCH_PEAK_TFLOPS")
+    if env:
+        return float(env)
+    return PEAK_TFLOPS_BY_KIND.get(jax.devices()[0].device_kind)
+
+
+def _program_flops(step, *args):
+    """Compiled-program FLOPs from XLA's cost analysis (the same counter
+    BASELINE.md's roofline sections use). Runs at build time, BEFORE the
+    timed windows (the timing loop donates params; lowering needs live
+    arrays). Returns None when the backend can't answer."""
+    try:
+        ca = step.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+    except Exception as e:  # pragma: no cover - backend-dependent
+        print(f"# cost_analysis unavailable: {type(e).__name__}", flush=True)
+        return None
+
+
+def _report(metric: str, clips: int, elapsed: float, mesh, denominator: float,
+            flops: float = None):
+    """One JSON scoreboard line. ``flops`` is the compiled cost of ONE
+    multi-step program dispatch; a timed window runs STEPS of them, so
+    achieved TF/s = flops·STEPS/elapsed (per chip), and MFU = that over the
+    chip's bf16 peak — making the perf claim self-contained in BENCH_r*.json
+    (VERDICT r4 weak #5)."""
     n_chips = mesh.shape["data"] * mesh.shape["model"]
     clips_per_sec_per_chip = clips / elapsed / n_chips
-    print(json.dumps({
+    out = {
         "metric": metric,
         "value": round(clips_per_sec_per_chip, 1),
         "unit": "clips/s/chip",
         "vs_baseline": round(clips_per_sec_per_chip / denominator, 3),
-    }), flush=True)
+    }
+    if flops:
+        tflops = flops * STEPS / elapsed / n_chips / 1e12
+        out["tflops"] = round(tflops, 2)
+        peak = _peak_tflops()
+        if peak:
+            out["mfu"] = round(tflops / peak, 4)
+    print(json.dumps(out), flush=True)
 
 
 def build_mtl_step(spc: int, moments_dtype: str = "float32",
-                   log_norms="default"):
+                   log_norms="default", fused_layout: str = None,
+                   bf16_prop: bool = None):
     """Line-1 harness (fused AR+LTA+PNR step at the experiments/mtl.yaml
     configuration; sized by the BENCH_FEAT_DIM/BENCH_HIDDEN smoke knobs).
     Shared by the bench line below and scripts/bench_mtl_spc.py.
     ``log_norms``: True | False | "last" (BENCH_LOG_NORMS when "default") —
     the per-step grad/param norm passes are an observability extra; "last"
-    prices them at 1/spc (system.make_train_step_multi)."""
+    prices them at 1/spc (system.make_train_step_multi).
+    ``fused_layout``: "slice" | "concat" (None → system default / env
+    EGOPACK_FUSED_LAYOUT) — the cross-task reasoning layout A/B lever.
+    BENCH_BF16_PROP=1 enables full bf16 activation propagation through the
+    backbone (the opt-in bandwidth lever; scripts/bench_bf16_prop.py)."""
     if log_norms == "default":
         log_norms = _env_log_norms()
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16" \
         else jnp.float32
     feat_dim, hidden = FEAT_DIM, HIDDEN
-    system = ge._build_system(hidden, hidden, feat_dim)
+    if bf16_prop is None:
+        bf16_prop = os.environ.get("BENCH_BF16_PROP") == "1"
+    system = ge._build_system(hidden, hidden, feat_dim,
+                              propagate_dtype=jnp.bfloat16 if bf16_prop
+                              else None)
     system.compute_dtype = dtype
+    if fused_layout is not None:
+        system.fused_layout = fused_layout
     params = system.init_params(jax.random.PRNGKey(0), feat_dim)
 
     mesh = pmesh.make_mesh(len(jax.devices()), 1)
@@ -218,10 +270,12 @@ def bench_mtl():
     step, params, opt_state, batch_list, mesh = build_mtl_step(
         spc, os.environ.get("BENCH_MOMENTS_DTYPE", "float32"))
 
+    flops = _program_flops(step, params, opt_state, batch_list,
+                           jax.random.PRNGKey(1), 0, 1e-5)
     elapsed = _time_step(step, (), params, opt_state, batch_list, spc, 1e-5)
     _report("ego4d_mtl_clips_per_sec_per_chip_fwd_bwd",
             STEPS * spc * len(ACTIVE) * BATCH * mesh.shape["data"],
-            elapsed, mesh, REFERENCE_BASELINE_CLIPS_PER_SEC)
+            elapsed, mesh, REFERENCE_BASELINE_CLIPS_PER_SEC, flops)
 
 
 def _env_log_norms():
@@ -303,11 +357,13 @@ def bench_egopack():
     spc = int(os.environ.get("BENCH_STEPS_PER_CALL", "32"))
     step, params, opt_state, banks, batch_list, mesh = build_egopack_step(
         spc, os.environ.get("BENCH_MOMENTS_DTYPE", "float32"))
+    flops = _program_flops(step, params, opt_state, banks, batch_list,
+                           jax.random.PRNGKey(1), 0, 1e-6)
     elapsed = _time_step(step, (banks,), params, opt_state, batch_list, spc,
                          1e-6)
     _report("ego4d_egopack_oscc_clips_per_sec_per_chip_fwd_bwd",
             STEPS * spc * BATCH * mesh.shape["data"],
-            elapsed, mesh, REFERENCE_EGOPACK_BASELINE_CLIPS_PER_SEC)
+            elapsed, mesh, REFERENCE_EGOPACK_BASELINE_CLIPS_PER_SEC, flops)
 
 
 def require_device(timeout_s: float = None):
