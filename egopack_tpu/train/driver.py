@@ -142,7 +142,8 @@ def build_system(cfg, dsets, phase2: bool = False) -> MultiTaskSystem:
     }
     dtype = jnp.bfloat16 if str(cfg.get("compute_dtype", "float32")) == "bfloat16" \
         else jnp.float32
-    return MultiTaskSystem(backbone, tasks, compute_dtype=dtype)
+    return MultiTaskSystem(backbone, tasks, compute_dtype=dtype,
+                           fused_layout=cfg.get("fused_layout", None))
 
 
 def make_run_logger(cfg):
