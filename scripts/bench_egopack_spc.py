@@ -11,8 +11,10 @@ MTL line's 48 — so the fixed per-step costs (Adam HBM traffic over the same
 - spc8_bf16       + optimizer.moments_dtype=bfloat16 (halved moment traffic;
                   opt-in, off the torch-parity table — see BASELINE.md)
 - spc16           deeper still (measured 1.083x over spc8)
-- spc32           deeper still (measured 1.068x over spc16, round 4 — now
-                  the bench line-2 default; clears the 8x bar)
+- spc32           deeper still (measured 1.068x over spc16, round 4;
+                  cleared the 8x bar)
+- spc64           deeper still (measured 1.026x over spc32, round 5 — now
+                  the bench line-2 default)
 
 Timing methodology (interleaved windows, true fetch-sync — the ROUND-2
 CORRECTION) lives in bench.run_interleaved_arms.
@@ -31,6 +33,7 @@ ARMS = {
     "spc8_bf16": {"spc": 8, "moments_dtype": "bfloat16"},
     "spc16": {"spc": 16, "moments_dtype": "float32"},
     "spc32": {"spc": 32, "moments_dtype": "float32"},
+    "spc64": {"spc": 64, "moments_dtype": "float32"},
 }
 
 
