@@ -261,11 +261,11 @@ def build_mtl_step(spc: int, moments_dtype: str = "float32",
 def bench_mtl():
     # production dispatch config: steps_per_call optimizer steps fused into
     # one device call (per-step rng keys identical to separate dispatches).
-    # spc=64 default (round 5): measured 1.058x over spc32 same-process
-    # (scripts/bench_mtl_spc.py, ladder 1.085x 32/16 -> 1.058x 64/32); the
-    # ~11 min fresh-compile cost through this image's tunnel is paid once
-    # into the repo-local .jax_cache
-    spc = int(os.environ.get("BENCH_STEPS_PER_CALL", "64"))
+    # spc=128 default (round 5): ladder 1.085x (32/16) -> 1.058x (64/32) ->
+    # 1.028x (128/64), all interleaved same-process (scripts/bench_mtl_spc.py).
+    # The ~27 min fresh-compile cost through this image's tunnel is paid once
+    # into the repo-local .jax_cache (the ladder A/B itself warmed it)
+    spc = int(os.environ.get("BENCH_STEPS_PER_CALL", "128"))
     # BENCH_MOMENTS_DTYPE=bfloat16 measures the opt-in Adam HBM lever
     # (optimizer.moments_dtype config); float32 = reference-parity numerics
     step, params, opt_state, batch_list, mesh = build_mtl_step(
@@ -349,11 +349,12 @@ def build_egopack_step(spc: int, moments_dtype: str = "float32",
 
 
 def bench_egopack():
-    # spc=64 default (round 5): the phase-2 step moves only 16 clips per
-    # optimizer step (vs the MTL line's 48), so dispatch amortization weighs
-    # 3x heavier — measured 1.25x (spc8/spc4), 1.083x (spc16/spc8), 1.068x
-    # (spc32/spc16), then 1.026x (spc64/spc32) in scripts/bench_egopack_spc.py
-    # interleaved same-process A/Bs; numerics identical for any spc, tested
+    # spc=64 default (round 5): measured 1.25x (spc8/spc4), 1.083x
+    # (spc16/spc8), 1.068x (spc32/spc16), then 1.026x (spc64/spc32) in
+    # scripts/bench_egopack_spc.py interleaved same-process A/Bs; numerics
+    # identical for any spc, tested. This line stays at 64 (the MTL line's
+    # 128/64 rung bought only 1.028x and phase-2's ladder decays faster —
+    # a ~15 min fresh compile is not worth the projected ~1%)
     spc = int(os.environ.get("BENCH_STEPS_PER_CALL", "64"))
     step, params, opt_state, banks, batch_list, mesh = build_egopack_step(
         spc, os.environ.get("BENCH_MOMENTS_DTYPE", "float32"))

@@ -9,8 +9,9 @@ where the line-1 default should sit. Arms (select with BENCH_ARMS=a,b):
 - spc8     the original bench line-1 default (BENCH_STEPS_PER_CALL=8)
 - spc16    deeper multi-step dispatch (measured 1.117x over spc8)
 - spc32    deeper still (measured 1.085x over spc16, round 4)
-- spc64    deeper still (measured 1.058x over spc32, round 5 — now the
-           bench line-1 default)
+- spc64    deeper still (measured 1.058x over spc32, round 5)
+- spc128   deeper still (measured 1.028x over spc64, round 5 — now the
+           bench line-1 default; fresh compile ~27 min, cached after)
 
 steps_per_call is trajectory-invariant by construction (per-step rng keys
 derive from (run key, epoch, step index); bitwise-tested), so any depth is
@@ -25,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench  # noqa: E402  (repo-root bench.py — the shared harness)
 
-ARM_SPCS = {"spc8": 8, "spc16": 16, "spc32": 32, "spc64": 64}
+ARM_SPCS = {"spc8": 8, "spc16": 16, "spc32": 32, "spc64": 64, "spc128": 128}
 
 
 def main():

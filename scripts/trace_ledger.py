@@ -112,10 +112,12 @@ def main():
     bench.setup_compilation_cache()
     bench.require_device()
 
-    # default matches bench.py's headline config (spc=64 since round 5) so a
-    # default capture lines up with the ARCHITECTURE.md ledger tables (the
-    # round-4/5 tables themselves were captured at the then-default spc=32)
-    spc = int(os.environ.get("BENCH_STEPS_PER_CALL", "64"))
+    # default matches bench.py's per-line headline config (round 5:
+    # mtl spc=128, ego spc=64) so a default capture lines up with the
+    # ARCHITECTURE.md ledger tables (the round-4/5 tables themselves were
+    # captured at the then-default spc=32)
+    spc = int(os.environ.get("BENCH_STEPS_PER_CALL",
+                             "128" if arm == "mtl" else "64"))
     moments = os.environ.get("BENCH_MOMENTS_DTYPE", "float32")
     if arm == "mtl":
         step, params, opt_state, batch_list, mesh = bench.build_mtl_step(
