@@ -474,3 +474,26 @@ def test_egopack_phase_on_novel_task(novel, flags, ego4d_root, tmp_path):
     leaves = [np.asarray(x) for x in
               jax.tree_util.tree_leaves(result["params"])]
     assert all(np.isfinite(l).all() for l in leaves)
+
+
+def test_loader_processes_trajectory_bitwise(ego4d_root, tmp_path):
+    """``loader_processes`` must be a pure throughput knob: the worker-pool
+    batch stream is bitwise the single-process loader's (test_data.py), so
+    the full training trajectory through the driver — MultiLoader
+    wraparound, per-epoch set_epoch, spc grouping — must be too. This is
+    the CLI-level wiring check for the reference's ``num_workers``
+    process-worker capability (/root/reference/utils/dataloading.py:56-70)."""
+    import jax
+
+    params = {}
+    for lp in (0, 1):
+        tmp = str(tmp_path / f"lp{lp}")
+        res = main_temporal.main(_mtl_overrides(ego4d_root, tmp, [
+            "enabled_tasks=[ar,oscc]", f"loader_processes={lp}",
+            "save_model=False"]))
+        params[lp] = res["params"]
+    a = jax.tree_util.tree_leaves(params[0])
+    b = jax.tree_util.tree_leaves(params[1])
+    assert len(a) == len(b) > 0
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
