@@ -182,9 +182,13 @@ def _report(metric: str, clips: int, elapsed: float, mesh, denominator: float,
             flops: float = None):
     """One JSON scoreboard line. ``flops`` is the compiled cost of ONE
     multi-step program dispatch; a timed window runs STEPS of them, so
-    achieved TF/s = flops·STEPS/elapsed (per chip), and MFU = that over the
-    chip's bf16 peak — making the perf claim self-contained in BENCH_r*.json
-    (VERDICT r4 weak #5)."""
+    achieved TF/s = flops·STEPS/elapsed, and MFU = that over the chip's
+    bf16 peak — making the perf claim self-contained in BENCH_r*.json
+    (VERDICT r4 weak #5). ``cost_analysis()`` reports the PER-DEVICE
+    (post-GSPMD-partitioning) module's flops — verified: an 8-way
+    data-sharded matmul reports 1/8 the single-device count — so the
+    per-chip TF/s needs no further division by chip count (clips/s does:
+    ``clips`` counts the global batch)."""
     n_chips = mesh.shape["data"] * mesh.shape["model"]
     clips_per_sec_per_chip = clips / elapsed / n_chips
     out = {
@@ -194,7 +198,7 @@ def _report(metric: str, clips: int, elapsed: float, mesh, denominator: float,
         "vs_baseline": round(clips_per_sec_per_chip / denominator, 3),
     }
     if flops:
-        tflops = flops * STEPS / elapsed / n_chips / 1e12
+        tflops = flops * STEPS / elapsed / 1e12
         out["tflops"] = round(tflops, 2)
         peak = _peak_tflops()
         if peak:

@@ -191,19 +191,68 @@ class DataLoader:
             stop.set()
 
 
+_POOL_ERROR = "__worker_error__"
+
+
 def _pool_worker(loader: "DataLoader", wid: int, nworkers: int,
-                 cmd_q, out_q) -> None:
+                 cmd_q, out_q, cur_gen) -> None:
     """Worker-process loop: produce this worker's round-robin share of each
     requested pass. Pure numpy — never touches jax. Runs until the ``None``
-    shutdown sentinel (or parent exit; workers are daemonic)."""
+    shutdown sentinel (or parent exit; workers are daemonic).
+
+    ``cur_gen`` is the consumer's live generation counter: when the pass
+    this worker is producing goes stale (MultiLoader wraparound abandoned
+    it), the worker stops instead of grinding out — and blocking the queue
+    with — the remainder of a pass nobody will consume. Stale items the
+    worker did enqueue still precede the new pass's items in its queue
+    (single producer), so the consumer's stale-drop loop stays correct.
+
+    Exceptions in ``dataset.get()``/collate are shipped to the consumer as a
+    ``(gen, (_POOL_ERROR, traceback))`` item — mirroring the in-process
+    prefetch thread's err-list propagation — so a bad sample raises in the
+    training loop instead of hanging it."""
     while True:
         msg = cmd_q.get()
         if msg is None:
             return
         gen, epoch, pass_idx = msg
         loader._epoch = epoch
-        for b in loader._produce(pass_idx, stride=(wid, nworkers)):
-            out_q.put((gen, b))
+        try:
+            for b in loader._produce(pass_idx, stride=(wid, nworkers)):
+                out_q.put((gen, b))
+                if cur_gen.value != gen:  # pass abandoned: next command
+                    break
+        except BaseException:
+            import traceback
+            out_q.put((gen, (_POOL_ERROR, traceback.format_exc())))
+            return
+
+
+def _close_pool(procs, cmd_qs, out_qs, cur_gen) -> None:
+    """Shut a worker pool down. Module-level so ``weakref.finalize`` can
+    hold it without keeping the loader alive; also the body of ``close()``."""
+    import queue as _q
+    import time as _time
+    cur_gen.value += 1  # mark any in-flight pass stale so producers wind down
+    for cq in cmd_qs:
+        try:
+            cq.put(None)
+        except (ValueError, OSError):
+            pass
+    # drain the output queues so a producer blocked in a full put() can
+    # complete it, observe the stale generation and exit on its own
+    deadline = _time.time() + 5.0
+    while any(p.is_alive() for p in procs) and _time.time() < deadline:
+        for oq in out_qs:
+            try:
+                oq.get_nowait()
+            except _q.Empty:
+                pass
+        _time.sleep(0.05)
+    for p in procs:
+        if p.is_alive():
+            p.terminate()
+        p.join(timeout=5)
 
 
 class WorkerPoolLoader:
@@ -221,22 +270,41 @@ class WorkerPoolLoader:
     Python ``get()`` needs just as much as ours does.
 
     Abandoned iterations (MultiLoader wraparound abandons exhausted-loader
-    iterators mid-pass) are handled with a generation counter: stale items
-    are drained and dropped by the next iteration.
+    iterators mid-pass) are handled with a generation counter: producers
+    stop a stale pass as soon as they observe the bumped shared generation,
+    and whatever stale items they did enqueue are drained and dropped by
+    the next iteration. Worker exceptions propagate to the consumer (which
+    also watches for silent worker death and stalls) — see ``_pool_worker``.
     """
+
+    # consumer patience: a single oq.get() polls at GET_TIMEOUT_S so worker
+    # death is noticed promptly; an alive-but-silent worker (e.g. a
+    # fork-inherited-lock deadlock in the child) trips the stall limit
+    # instead of hanging the training loop forever
+    GET_TIMEOUT_S = 5.0
 
     def __init__(self, loader: DataLoader, num_workers: int):
         import multiprocessing as mp
+        import os
         assert num_workers > 0
         self.loader = loader
         self.num_workers = num_workers
-        # fork: datasets hold open memmaps that must be inherited, not
-        # pickled; workers only run numpy (no jax state is ever touched)
-        self._ctx = mp.get_context("fork")
+        self.stall_limit_s = float(
+            os.environ.get("EGOPACK_POOL_STALL_S", "300"))
+        # fork (default): datasets hold open memmaps that are inherited for
+        # free; workers only run numpy (no jax state is ever touched). fork
+        # from a process whose jax/tunnel threads are live is nonetheless
+        # fork-unsafe in principle (inherited locks); EGOPACK_POOL_CTX=spawn
+        # trades a per-worker dataset pickle for a clean child image, and
+        # the consumer's stall detector (STALL_LIMIT_S) converts any
+        # residual deadlock into a legible error either way.
+        self._ctx = mp.get_context(os.environ.get("EGOPACK_POOL_CTX", "fork"))
         self._gen = 0
+        self._cur_gen = self._ctx.Value("L", 0, lock=False)
         self._cmd_qs: list = []
         self._out_qs: list = []
         self._procs: list = []
+        self._finalizer = None
 
     # -- DataLoader-compatible surface --
     def __len__(self) -> int:
@@ -250,42 +318,67 @@ class WorkerPoolLoader:
         return self.loader.dataset
 
     def _start(self) -> None:
+        import weakref
         for w in range(self.num_workers):
             cq = self._ctx.Queue()
             oq = self._ctx.Queue(maxsize=max(2, self.loader.prefetch))
             p = self._ctx.Process(
                 target=_pool_worker,
-                args=(self.loader, w, self.num_workers, cq, oq), daemon=True)
+                args=(self.loader, w, self.num_workers, cq, oq,
+                      self._cur_gen), daemon=True)
             p.start()
             self._cmd_qs.append(cq)
             self._out_qs.append(oq)
             self._procs.append(p)
+        # safety net for callers that drop the loader without close():
+        # forked daemon workers are full copy-on-write images of the jax
+        # parent, too heavy to leak for the life of a sweep process
+        self._finalizer = weakref.finalize(
+            self, _close_pool, self._procs, self._cmd_qs, self._out_qs,
+            self._cur_gen)
 
     def close(self) -> None:
-        for cq in self._cmd_qs:
-            try:
-                cq.put(None)
-            except (ValueError, OSError):
-                pass
-        for p in self._procs:
-            p.join(timeout=5)
-            if p.is_alive():
-                p.terminate()
+        if self._finalizer is not None:
+            self._finalizer()  # idempotent; detaches itself after one call
+            self._finalizer = None
         self._procs, self._cmd_qs, self._out_qs = [], [], []
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
+        import queue as _q
+        import time as _time
         if not self._procs:
             self._start()
         pass_idx = self.loader._pass
         self.loader._pass += 1
         self._gen += 1
         gen = self._gen
+        self._cur_gen.value = gen  # unsticks workers still on a stale pass
         for cq in self._cmd_qs:
             cq.put((gen, self.loader._epoch, pass_idx))
         for k in range(len(self.loader)):
-            oq = self._out_qs[k % self.num_workers]
+            w = k % self.num_workers
+            oq, p = self._out_qs[w], self._procs[w]
+            waited = 0.0
             while True:
-                g, item = oq.get()
+                try:
+                    g, item = oq.get(timeout=self.GET_TIMEOUT_S)
+                except _q.Empty:
+                    if not p.is_alive():
+                        raise RuntimeError(
+                            f"loader worker {w} died (exitcode "
+                            f"{p.exitcode}) without reporting an error")
+                    waited += self.GET_TIMEOUT_S
+                    if waited >= self.stall_limit_s:
+                        raise RuntimeError(
+                            f"loader worker {w} produced nothing for "
+                            f"{waited:.0f}s (EGOPACK_POOL_STALL_S="
+                            f"{self.stall_limit_s:.0f}); if this is a "
+                            "fork-inherited-lock deadlock, retry with "
+                            "EGOPACK_POOL_CTX=spawn")
+                    continue
+                if isinstance(item, tuple) and item[:1] == (_POOL_ERROR,):
+                    raise RuntimeError(
+                        f"loader worker {w} failed:\n{item[1]}")
                 if g == gen:  # drop items from abandoned passes
                     break
             yield item

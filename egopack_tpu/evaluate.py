@@ -89,6 +89,7 @@ def evaluate(cfg, output: Optional[str] = None) -> Dict[str, Dict[str, Any]]:
         cfg, system, params, banks, dsets, task_weights, 0, run_logger,
         eval_steps, sample_fn, rng,
         force_all=bool(cfg.get("validate_all_tasks", False)), mesh=mesh)
+    drv.close_loaders(dsets)
     run_logger.close()
     # metrics are identical on every process after the meter merge; only
     # process 0 writes (N concurrent writers would corrupt a shared path)

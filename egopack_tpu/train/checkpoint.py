@@ -133,6 +133,12 @@ def unpack_artifact(payload: Dict[str, Any], meta: Dict[str, Any], cfg):
                               jnp.asarray(bank_masks[t]))
              for t in bank_vals}
     gcfg = dict(meta.get("graphone") or to_container(cfg.graphone))
+    if int(cfg.parallel.get("model", 1)) > 1:
+        # same pin as train_egopack (driver.py): model-axis-sharded banks
+        # ride the GSPMD-partitioned XLA top-k; the Pallas kernel is a
+        # Mosaic custom call GSPMD cannot partition, so the TPU auto→pallas
+        # default must not reach evaluate/predict when banks are row-sharded
+        gcfg.setdefault("knn_impl", "xla")
     graphone = GraphONE(task_labels=aux_tasks,
                         features_size=cfg.model.hidden_size, **gcfg)
     extra_params: Dict[str, Any] = {"graphone": gparams}

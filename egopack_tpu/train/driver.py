@@ -9,6 +9,7 @@ mesh-sharded execution, local artifacts with the reference's naming contract.
 from __future__ import annotations
 
 import logging
+import os
 import os.path as osp
 import time
 from typing import Any, Dict
@@ -100,6 +101,18 @@ def build_datasets(cfg) -> Dict[str, Dict[str, Any]]:
     return out
 
 
+def close_loaders(dsets: Dict[str, Dict[str, Any]]) -> None:
+    """Release worker pools (``loader_processes>0``) when a run finishes —
+    forked workers are copy-on-write images of the jax parent, too heavy to
+    leave running for the life of a sweep/predict process. No-op for the
+    in-process loaders; a closed pool restarts lazily if re-iterated."""
+    for d in dsets.values():
+        for key in ("dl_train", "dl_val"):
+            dl = d.get(key)
+            if hasattr(dl, "close"):
+                dl.close()
+
+
 def build_system(cfg, dsets, phase2: bool = False) -> MultiTaskSystem:
     hidden = cfg.model.hidden_size
     backbone = instantiate(cfg.model, _recursive_=False,
@@ -142,8 +155,13 @@ def build_system(cfg, dsets, phase2: bool = False) -> MultiTaskSystem:
     }
     dtype = jnp.bfloat16 if str(cfg.get("compute_dtype", "float32")) == "bfloat16" \
         else jnp.float32
+    # env beats the config value: defaults.yaml always supplies fused_layout,
+    # so resolving the documented EGOPACK_FUSED_LAYOUT escape hatch only when
+    # the config omits the key would make it dead for every CLI run
+    layout = (os.environ.get("EGOPACK_FUSED_LAYOUT")
+              or cfg.get("fused_layout", None))
     return MultiTaskSystem(backbone, tasks, compute_dtype=dtype,
-                           fused_layout=cfg.get("fused_layout", None))
+                           fused_layout=layout)
 
 
 def make_run_logger(cfg):
@@ -517,6 +535,7 @@ def train_mtl(cfg) -> Dict[str, Any]:
         if jax.process_index() == 0:
             logger.info("Saved artifact %s", name)
         result["artifact"] = name
+    close_loaders(dsets)
     run_logger.close()
     return result
 
@@ -697,5 +716,6 @@ def train_egopack(cfg) -> Dict[str, Any]:
         if jax.process_index() == 0:
             logger.info("Saved artifact %s", name)
         result["artifact"] = name
+    close_loaders(dsets)
     run_logger.close()
     return result

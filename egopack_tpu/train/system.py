@@ -175,10 +175,16 @@ class MultiTaskSystem:
     CONCAT_AUTO_MAX_NODES = 1024
 
     def _resolve_layout(self, total_nodes: int) -> str:
-        if self.fused_layout == "auto":
+        layout = self.fused_layout
+        if layout == "auto":
             return ("concat" if total_nodes <= self.CONCAT_AUTO_MAX_NODES
                     else "slice")
-        return self.fused_layout
+        if layout not in ("concat", "slice"):
+            # fail loudly: a typo'd value silently running the wrong A/B arm
+            # would poison a parity or timing measurement
+            raise ValueError(
+                f"fused_layout must be 'auto'|'concat'|'slice', got {layout!r}")
+        return layout
 
     # ---------------- initialization ----------------
     def init_params(self, rng: jax.Array, feature_dim: int) -> Dict[str, Any]:

@@ -386,3 +386,81 @@ def test_worker_pool_abandoned_pass_recovers(ego4d_root):
                                               np.asarray(y[k]), err_msg=k)
     finally:
         pool.close()
+
+
+class _ExplodingDataset:
+    """Wraps a dataset so every get() raises — drives the pool's
+    worker-exception propagation path."""
+
+    def __init__(self, base):
+        self.base = base
+
+    def __len__(self):
+        return len(self.base)
+
+    def get(self, idx, rng):
+        raise ValueError("synthetic get failure")
+
+
+class _ExitingDataset(_ExplodingDataset):
+    """get() hard-kills the worker process (no exception to report) —
+    drives the pool's silent-death detection path."""
+
+    def get(self, idx, rng):
+        import os
+        os._exit(13)
+
+
+def test_worker_pool_worker_error_propagates(ego4d_root):
+    """An exception inside a worker's dataset.get() must raise in the
+    consumer (with the worker traceback), not hang the training loop —
+    the process-pool analog of the prefetch thread's err-list."""
+    import pytest
+    ds = Ego4dOSCCDataset("train", num_segments=3, root=ego4d_root, aug_prob=0)
+    pool = build_dataloader(_ExplodingDataset(ds), 4, True, 0, True, seed=5,
+                            worker_processes=2)
+    try:
+        with pytest.raises(RuntimeError, match="synthetic get failure"):
+            next(iter(pool))
+    finally:
+        pool.close()
+
+
+def test_worker_pool_dead_worker_raises(ego4d_root):
+    """A worker that dies without reporting (segfault/OOM-kill analog:
+    os._exit) must surface as a RuntimeError after the liveness poll, not
+    an indefinite oq.get() block."""
+    import pytest
+    ds = Ego4dOSCCDataset("train", num_segments=3, root=ego4d_root, aug_prob=0)
+    pool = build_dataloader(_ExitingDataset(ds), 4, True, 0, True, seed=5,
+                            worker_processes=2)
+    try:
+        with pytest.raises(RuntimeError, match="died"):
+            next(iter(pool))
+    finally:
+        pool.close()
+
+
+def test_worker_pool_close_and_finalizer_reap_workers(ego4d_root):
+    """close() must reap the forked workers; a pool dropped WITHOUT close()
+    must be reaped by its weakref finalizer (sweep/e2e processes would
+    otherwise accumulate copy-on-write images of the jax parent)."""
+    import gc
+    ds = Ego4dOSCCDataset("train", num_segments=3, root=ego4d_root, aug_prob=0)
+    pool = build_dataloader(ds, 4, True, 0, True, seed=5, worker_processes=2)
+    it = iter(pool)
+    next(it)
+    procs = list(pool._procs)
+    assert all(p.is_alive() for p in procs)
+    pool.close()
+    assert all(not p.is_alive() for p in procs)
+
+    pool2 = build_dataloader(ds, 4, True, 0, True, seed=5, worker_processes=2)
+    it2 = iter(pool2)
+    next(it2)
+    procs2 = list(pool2._procs)
+    del pool2, it2
+    gc.collect()
+    for p in procs2:
+        p.join(timeout=10)
+    assert all(not p.is_alive() for p in procs2)

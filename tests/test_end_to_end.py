@@ -497,3 +497,55 @@ def test_loader_processes_trajectory_bitwise(ego4d_root, tmp_path):
     assert len(a) == len(b) > 0
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_build_system_honors_env_layout_override(ego4d_root, tmp_path,
+                                                 monkeypatch):
+    """EGOPACK_FUSED_LAYOUT must override the CONFIG value on the CLI path:
+    defaults.yaml always supplies fused_layout, so resolving the env only
+    when the config omits the key would make the documented parity escape
+    hatch (`EGOPACK_FUSED_LAYOUT=slice`, PARITY.md) silently dead."""
+    from egopack_tpu.config import compose, default_config_dir
+    from egopack_tpu.train import driver as drv
+
+    cfg = compose(default_config_dir(), "defaults",
+                  overrides=_mtl_overrides(ego4d_root, str(tmp_path)))
+    assert cfg.get("fused_layout") == "auto"  # the always-present default
+    dsets = drv.build_datasets(cfg)
+    try:
+        monkeypatch.setenv("EGOPACK_FUSED_LAYOUT", "slice")
+        assert drv.build_system(cfg, dsets).fused_layout == "slice"
+        monkeypatch.delenv("EGOPACK_FUSED_LAYOUT")
+        assert drv.build_system(cfg, dsets).fused_layout == "auto"
+    finally:
+        drv.close_loaders(dsets)
+
+
+def test_unpack_artifact_pins_xla_knn_for_model_sharding(ego4d_root,
+                                                         tmp_path):
+    """Cold eval/predict of an EgoPack artifact under parallel.model>1 must
+    build GraphONE with knn_impl='xla' (same pin as train_egopack): the
+    banks get row-sharded over the model axis and the Pallas kNN kernel is
+    a Mosaic custom call GSPMD cannot partition."""
+    import jax.numpy as jnp
+
+    from egopack_tpu.config import compose, default_config_dir
+    from egopack_tpu.train.checkpoint import unpack_artifact
+
+    def payload():
+        return {
+            "graphone_banks": {"ar": np.zeros((4, 8), np.float32)},
+            "graphone_bank_masks": {"ar": np.ones(4, bool)},
+            "graphone": {},
+        }
+
+    meta = {"phase": "egopack", "aux_tasks": ["ar"]}
+    base = _mtl_overrides(ego4d_root, str(tmp_path))
+    cfg = compose(default_config_dir(), "defaults",
+                  overrides=base + ["parallel.model=2"])
+    _, _, graphone, _, _, _ = unpack_artifact(payload(), dict(meta), cfg)
+    assert graphone.knn_impl == "xla"
+
+    cfg1 = compose(default_config_dir(), "defaults", overrides=base)
+    _, _, graphone1, _, _, _ = unpack_artifact(payload(), dict(meta), cfg1)
+    assert graphone1.knn_impl == "auto"  # unsharded: platform default

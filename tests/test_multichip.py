@@ -125,6 +125,15 @@ def test_fused_layout_auto_policy(monkeypatch):
     assert ge._build_system(8, 8, 8).fused_layout == "concat"
 
 
+def test_fused_layout_invalid_value_raises():
+    """A typo'd layout must fail loudly at resolution, not silently run the
+    slice arm (it would poison a parity or A/B timing measurement)."""
+    system = ge._build_system(8, 8, 8)
+    system.fused_layout = "Concat"
+    with pytest.raises(ValueError, match="fused_layout"):
+        system._resolve_layout(100)
+
+
 def test_concat_fused_layout_train_step_matches_slice_layout():
     """One optimizer step at fused_layout='concat' matches the 'slice'
     layout (losses and updated params) within fp reassociation tolerance —
