@@ -464,3 +464,23 @@ def test_worker_pool_close_and_finalizer_reap_workers(ego4d_root):
     for p in procs2:
         p.join(timeout=10)
     assert all(not p.is_alive() for p in procs2)
+
+
+def test_worker_pool_spawn_context_stream_matches(ego4d_root, monkeypatch):
+    """EGOPACK_POOL_CTX=spawn (the fork-safe child image; workers re-import
+    and unpickle the dataset instead of inheriting it) must stream the same
+    batches as the default fork context."""
+    monkeypatch.setenv("EGOPACK_POOL_CTX", "spawn")
+    ds = Ego4dOSCCDataset("train", num_segments=3, root=ego4d_root,
+                          aug_prob=0.5)
+    ref = build_dataloader(ds, 4, True, 0, True, seed=7)
+    pool = build_dataloader(ds, 4, True, 0, True, seed=7, worker_processes=2)
+    try:
+        a = _stream_arrays(ref)
+        b = _stream_arrays(pool)
+        assert len(a) == len(b) > 0
+        for x, y in zip(a, b):
+            for k in x:
+                np.testing.assert_array_equal(x[k], y[k], err_msg=k)
+    finally:
+        pool.close()
