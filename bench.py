@@ -352,6 +352,35 @@ def build_egopack_step(spc: int, moments_dtype: str = "float32",
     return step, params, opt_state, banks, batch_list, mesh
 
 
+def build_arms(specs, spc: int, builder: str = "mtl"):
+    """Build + warm the arm dicts ``run_interleaved_arms`` consumes — the
+    shared front half of every per-lever A/B script (bench_knn_pallas,
+    bench_fused_layout, bench_b128). ``specs`` is ``[(name, kwargs), ...]``
+    where kwargs feed ``build_mtl_step`` / ``build_egopack_step``
+    (``builder``). One dispatch per arm pays its compile up front (time
+    printed) so the timed windows start warm; timing methodology stays in
+    ``run_interleaved_arms``."""
+    arms = {}
+    for name, kw in specs:
+        if builder == "egopack":
+            step, params, opt_state, banks, batch_list, _mesh = \
+                build_egopack_step(spc, **kw)
+            extra, lr = (banks,), 1e-6
+        else:
+            step, params, opt_state, batch_list, _mesh = \
+                build_mtl_step(spc, **kw)
+            extra, lr = (), 1e-5
+        t0 = time.time()
+        params, opt_state, logs = step(params, opt_state, *extra, batch_list,
+                                       jax.random.PRNGKey(0), 0, lr)
+        _sync(logs)
+        print(f"[{name}] compiled in {time.time() - t0:.1f}s", flush=True)
+        arms[name] = {"step": step, "params": params, "opt_state": opt_state,
+                      "extra": extra, "batch_list": batch_list,
+                      "spc": spc, "lr": lr}
+    return arms
+
+
 def bench_egopack():
     # spc=64 default (round 5): measured 1.25x (spc8/spc4), 1.083x
     # (spc16/spc8), 1.068x (spc32/spc16), then 1.026x (spc64/spc32) in

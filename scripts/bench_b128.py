@@ -24,7 +24,6 @@ Usage (real chip):
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -34,20 +33,7 @@ import bench  # noqa: E402
 
 
 def run(arm_specs, spc):
-    import jax
-    arms = {}
-    for name, kw in arm_specs:
-        step, params, opt_state, batch_list, _mesh = bench.build_mtl_step(
-            spc, **kw)
-        t0 = time.time()
-        params, opt_state, logs = step(params, opt_state, batch_list,
-                                       jax.random.PRNGKey(0), 0, 1e-5)
-        bench._sync(logs)
-        print(f"[{name}] compiled in {time.time() - t0:.1f}s", flush=True)
-        arms[name] = {"step": step, "params": params, "opt_state": opt_state,
-                      "extra": (), "batch_list": batch_list,
-                      "spc": spc, "lr": 1e-5}
-    bench.run_interleaved_arms(arms)
+    bench.run_interleaved_arms(bench.build_arms(arm_specs, spc))
 
 
 def main():

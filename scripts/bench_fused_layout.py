@@ -23,7 +23,6 @@ Usage (real chip; probes the tunnel first):
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -36,22 +35,9 @@ def main():
     bench.setup_compilation_cache()
     bench.require_device()
     spc = int(os.environ.get("BENCH_STEPS_PER_CALL", "32"))
-
-    import jax
-    arms = {}
-    for name, layout in (("layout_slice", "slice"), ("layout_concat",
-                                                     "concat")):
-        step, params, opt_state, batch_list, _mesh = bench.build_mtl_step(
-            spc, fused_layout=layout)
-        t0 = time.time()
-        params, opt_state, logs = step(params, opt_state, batch_list,
-                                       jax.random.PRNGKey(0), 0, 1e-5)
-        bench._sync(logs)
-        print(f"[{name}] compiled in {time.time() - t0:.1f}s", flush=True)
-        arms[name] = {"step": step, "params": params, "opt_state": opt_state,
-                      "extra": (), "batch_list": batch_list,
-                      "spc": spc, "lr": 1e-5}
-    bench.run_interleaved_arms(arms)
+    bench.run_interleaved_arms(bench.build_arms(
+        [("layout_slice", {"fused_layout": "slice"}),
+         ("layout_concat", {"fused_layout": "concat"})], spc))
 
 
 if __name__ == "__main__":

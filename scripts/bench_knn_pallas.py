@@ -34,20 +34,9 @@ import bench  # noqa: E402
 
 
 def production_ab(spc: int):
-    import jax
-    arms = {}
-    for name, impl in (("knn_xla", "xla"), ("knn_pallas", "pallas")):
-        step, params, opt_state, banks, batch_list, _mesh = \
-            bench.build_egopack_step(spc, knn_impl=impl)
-        t0 = time.time()
-        params, opt_state, logs = step(params, opt_state, banks, batch_list,
-                                       jax.random.PRNGKey(0), 0, 1e-6)
-        bench._sync(logs)
-        print(f"[{name}] compiled in {time.time() - t0:.1f}s", flush=True)
-        arms[name] = {"step": step, "params": params, "opt_state": opt_state,
-                      "extra": (banks,), "batch_list": batch_list,
-                      "spc": spc, "lr": 1e-6}
-    bench.run_interleaved_arms(arms)
+    bench.run_interleaved_arms(bench.build_arms(
+        [("knn_xla", {"knn_impl": "xla"}),
+         ("knn_pallas", {"knn_impl": "pallas"})], spc, builder="egopack"))
 
 
 def standalone_scaling(windows: int = 5, iters: int = 20):
