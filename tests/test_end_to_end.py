@@ -341,7 +341,10 @@ def test_bench_emits_two_parseable_json_lines():
                # BENCH_SKIP_EGOPACK=1 would drop line 2; a deep ambient
                # BENCH_STEPS_PER_CALL would blow the compile budget)
                BENCH_STEPS_PER_CALL="4", BENCH_DTYPE="bfloat16",
-               BENCH_MOMENTS_DTYPE="float32")
+               BENCH_MOMENTS_DTYPE="float32",
+               # CPU has no peak-TF/s table entry; pin the override so the
+               # mfu field emits deterministically in the smoke
+               BENCH_PEAK_TFLOPS="197")
     env.pop("BENCH_SKIP_EGOPACK", None)
     # the conftest exports an 8-virtual-device XLA_FLAGS; bench on ONE
     # device keeps this smoke fast (mesh-size behavior is tested elsewhere)
@@ -360,6 +363,10 @@ def test_bench_emits_two_parseable_json_lines():
     for line in (mtl, ego):
         assert line["unit"] == "clips/s/chip"
         assert line["value"] > 0 and line["vs_baseline"] > 0
+        # round-5 scoreboard fields: achieved TF/s from XLA cost analysis
+        # and the fraction of the (BENCH_PEAK_TFLOPS-pinned) chip peak
+        assert line["tflops"] > 0
+        assert 0 < line["mfu"] < 1
 
 
 def test_interleaved_harness_honors_windows_knob(monkeypatch):
