@@ -60,6 +60,7 @@ def evaluate(cfg, output: Optional[str] = None) -> Dict[str, Dict[str, Any]]:
     # artifact evaluation rides all chips, not one (VERDICT r2 weak #4)
     from .parallel import mesh as pmesh
     mesh = pmesh.make_mesh(cfg.parallel.data, cfg.parallel.model)
+    pmesh.check_batch_divisible(cfg.batch_size, mesh)
     params = pmesh.place_params(params, mesh)
     if banks is not None:
         banks = pmesh.place_banks(banks, mesh)

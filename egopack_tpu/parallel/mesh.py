@@ -45,6 +45,17 @@ def make_mesh(data: int = -1, model: int = 1,
     return Mesh(arr, ("data", "model"))
 
 
+def check_batch_divisible(batch_size: int, mesh: Mesh) -> None:
+    """Fail fast, legibly, when the global batch cannot shard on the data
+    axis — otherwise the violation only surfaces steps later as a raw pjit
+    ValueError deep inside device_put."""
+    data = int(mesh.shape["data"])
+    if batch_size % data:
+        raise SystemExit(
+            f"Invalid configuration: batch_size={batch_size} is not "
+            f"divisible by parallel.data={data}. Aborting!")
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 

@@ -478,6 +478,7 @@ def train_mtl(cfg) -> Dict[str, Any]:
     params = system.init_params(init_rng, dsets["ar"]["train"].features_size)
 
     mesh = pmesh.make_mesh(cfg.parallel.data, cfg.parallel.model)
+    pmesh.check_batch_divisible(cfg.batch_size, mesh)
     params = pmesh.place_params(params, mesh)
 
     active = tuple(t for t in TASKS if task_weights[t] > 0)
@@ -573,6 +574,7 @@ def train_egopack(cfg) -> Dict[str, Any]:
     # over the data axis and, under multihost, over process loader shards
     # (VERDICT r3 weak #3) instead of running redundantly on one chip
     mesh = pmesh.make_mesh(cfg.parallel.data, cfg.parallel.model)
+    pmesh.check_batch_divisible(cfg.batch_size, mesh)
     params = pmesh.place_params(params, mesh)
 
     # reference uses batch 256 with drop_last=True (main_egopack.py:302);

@@ -15,6 +15,16 @@ def test_mesh_shapes():
     assert dict(m1.shape) == {"data": 1, "model": 1}
 
 
+def test_batch_divisibility_guard():
+    """Drivers fail fast with a config-level message when batch_size does
+    not divide over parallel.data (otherwise the violation surfaces steps
+    later as a raw pjit ValueError inside device_put)."""
+    m = pmesh.make_mesh(2, 1)
+    pmesh.check_batch_divisible(4, m)  # divisible: no raise
+    with pytest.raises(SystemExit, match="not.*divisible by parallel.data"):
+        pmesh.check_batch_divisible(5, m)
+
+
 def test_dryrun_multichip_8():
     ge.dryrun_multichip(8)
 
